@@ -1,0 +1,38 @@
+"""Test environment: force the JAX CPU backend with 8 virtual devices so
+multi-chip sharding tests run without a TPU pod (SURVEY.md §4e)."""
+import os
+
+# Force CPU regardless of any inherited JAX_PLATFORMS (the test suite must not
+# depend on TPU availability); export MB_TEST_PLATFORM to override. jax may
+# already be imported by a pytest plugin, so set the config directly too —
+# this works as long as no backend has been initialised yet.
+_platform = os.environ.get("MB_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", _platform)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def sample_wav():
+    """The bundled reference utterance (16 kHz mono), or a synthetic harmonic
+    signal if the reference mount is unavailable."""
+    from mockingbird_tpu.dsp import load_wav
+
+    path = "/root/reference/data/samples/T0055G0013S0005.wav"
+    if os.path.exists(path):
+        wav, sr = load_wav(path)
+        return wav.astype(np.float32), sr
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    f0 = 220 * (1 + 0.1 * np.sin(2 * np.pi * 2 * t))
+    wav = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.2 * np.sin(2 * np.pi * 2 * f0 * t)
+    wav *= np.clip(np.sin(np.pi * t / t[-1]), 0, 1)
+    return wav.astype(np.float32), sr
