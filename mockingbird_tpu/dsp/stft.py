@@ -65,6 +65,24 @@ def _hann(m: int) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(m) / m)).astype(np.float64)
 
 
+@functools.lru_cache(maxsize=None)
+def _idft_basis(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real inverse-DFT basis for a one-sided spectrum: (bins, n_fft) matrices
+    (C, S) with x = re @ C + im @ S. Complex dtypes and jnp.fft are avoided
+    entirely — the TPU backend lacks them, and matmul rides the MXU."""
+    n_bins = 1 + n_fft // 2
+    k = np.arange(n_bins)[:, None]
+    n = np.arange(n_fft)[None, :]
+    angle = 2.0 * np.pi * k * n / n_fft
+    scale = np.full((n_bins, 1), 2.0)
+    scale[0, 0] = 1.0
+    if n_fft % 2 == 0:
+        scale[-1, 0] = 1.0
+    c = scale * np.cos(angle) / n_fft
+    s = -scale * np.sin(angle) / n_fft
+    return c.astype(np.float32), s.astype(np.float32)
+
+
 def frame(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
     """Slice ``x`` (..., T) into overlapping frames (..., n_frames, frame_length)."""
     t = x.shape[-1]
@@ -98,6 +116,32 @@ def stft_magnitude(x, n_fft, hop, win_length=None, center=True, pad_mode="reflec
     return jnp.sqrt(re * re + im * im + eps)
 
 
+def _overlap_add(frames_t: jax.Array, hop: int) -> jax.Array:
+    """Overlap-add (..., F, n_fft) frames at stride ``hop`` → (..., out_len).
+
+    TPU-friendly: when hop divides n_fft this is K static shifted adds (no
+    scatter, which serialises on TPU); otherwise falls back to a scatter-add.
+    """
+    *lead, n_frames, n_fft = frames_t.shape
+    out_len = n_fft + hop * (n_frames - 1)
+    if n_fft % hop == 0:
+        k = n_fft // hop
+        fr = frames_t.reshape(*lead, n_frames, k, hop)
+        y = jnp.zeros((*lead, n_frames + k - 1, hop), frames_t.dtype)
+        for c in range(k):
+            y = y.at[..., c : c + n_frames, :].add(fr[..., :, c, :])
+        return y.reshape(*lead, (n_frames + k - 1) * hop)
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+
+    def _ola(fr):
+        return jnp.zeros((out_len,), dtype=fr.dtype).at[idx.reshape(-1)].add(fr.reshape(-1))
+
+    if frames_t.ndim == 2:
+        return _ola(frames_t)
+    flat = frames_t.reshape(-1, n_frames, n_fft)
+    return jax.vmap(_ola)(flat).reshape(*lead, out_len)
+
+
 def istft(real: jax.Array, imag: jax.Array, n_fft: int, hop: int,
           win_length: Optional[int] = None, center: bool = True, length: Optional[int] = None) -> jax.Array:
     """Inverse STFT (overlap-add with squared-window normalisation).
@@ -111,23 +155,15 @@ def istft(real: jax.Array, imag: jax.Array, n_fft: int, hop: int,
     lpad = (n_fft - win_length) // 2
     window[lpad : lpad + win_length] = w
 
-    spec = real + 1j * imag
-    frames_t = jnp.fft.irfft(spec, n=n_fft, axis=-1) * jnp.asarray(window, dtype=real.dtype)
+    cb, sb = _idft_basis(n_fft)
+    frames_t = (_mm(real, jnp.asarray(cb)) + _mm(imag, jnp.asarray(sb))) * jnp.asarray(
+        window, dtype=real.dtype)
 
     n_frames = frames_t.shape[-2]
     out_len = n_fft + hop * (n_frames - 1)
+    y = _overlap_add(frames_t, hop)
+
     idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-
-    def _ola(fr):
-        y = jnp.zeros((out_len,), dtype=fr.dtype).at[idx.reshape(-1)].add(fr.reshape(-1))
-        return y
-
-    if frames_t.ndim == 2:
-        y = _ola(frames_t)
-    else:
-        y = jax.vmap(_ola)(frames_t.reshape(-1, n_frames, n_fft)).reshape(
-            frames_t.shape[:-2] + (out_len,))
-
     wsq = np.zeros(out_len)
     np.add.at(wsq, idx.reshape(-1), np.tile(window**2, n_frames))
     y = y / jnp.asarray(np.maximum(wsq, 1e-10), dtype=y.dtype)
@@ -222,7 +258,27 @@ def linearspectrogram(wav: jax.Array, cfg) -> jax.Array:
 
 
 def inv_mel_spectrogram(mel: jax.Array, cfg, key: Optional[jax.Array] = None) -> jax.Array:
-    """Griffin-Lim inversion of an SV2TTS mel (`audio.py:84-100`): mel (T, M)."""
+    """Griffin-Lim inversion of an SV2TTS mel (`audio.py:84-100`): mel (T, M).
+
+    The whole inversion (denorm → mel-pinv → GL scan → inv-preemphasis) is one
+    jitted program per (cfg, shape)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return _inv_mel_jit(_freeze(cfg))(mel, key)
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_mel_jit(frozen_cfg):
+    from ..config import Config
+    cfg = Config(dict(frozen_cfg))
+    return jax.jit(functools.partial(_inv_mel_impl, cfg=cfg))
+
+
+def _freeze(cfg) -> tuple:
+    return tuple(sorted((k, v) for k, v in cfg.items() if not isinstance(v, (dict, list))))
+
+
+def _inv_mel_impl(mel: jax.Array, key: jax.Array, cfg) -> jax.Array:
     if cfg.signal_normalization:
         D = denormalize_db(mel, cfg.min_level_db, cfg.max_abs_value,
                            cfg.symmetric_mels, cfg.allow_clipping_in_normalization)
@@ -239,6 +295,7 @@ def inv_mel_spectrogram(mel: jax.Array, cfg, key: Optional[jax.Array] = None) ->
     return y
 
 
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "n_iters"))
 def griffin_lim(S_mag: jax.Array, n_fft: int, hop: int, win_length: int,
                 n_iters: int = 60, key: Optional[jax.Array] = None) -> jax.Array:
     """Griffin-Lim phase recovery (`models/synthesizer/audio.py:106-115`).

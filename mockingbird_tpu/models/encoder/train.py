@@ -1,0 +1,99 @@
+"""GE2E speaker-encoder trainer.
+
+Parity with `/root/reference/models/encoder/train.py:15-123`: Adam at 1e-4,
+similarity-parameter gradients scaled ×0.01 then global-norm clip 3
+(`model.py:33-39`), periodic save/backup, EER reporting. TPU-first: one jitted
+SPMD train step — batch sharded over the mesh 'data' axis (the loss needs all
+embeddings, XLA inserts the all-gather), loss/EER on-device (the reference
+computes the loss on the CPU, `train.py:27-32`).
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ...parallel.mesh import make_mesh, shard_batch
+from ...train.checkpoint import CheckpointManager
+from .dataset import SpeakerBatchSampler, SpeakerVerificationDataset
+from .model import SpeakerEncoder, equal_error_rate, ge2e_loss, init_params
+
+LEARNING_RATE_INIT = 1e-4
+SPEAKERS_PER_BATCH = 64
+UTTERANCES_PER_SPEAKER = 10
+PARTIALS_N_FRAMES = 160
+
+
+def make_train_step(model: SpeakerEncoder, tx: optax.GradientTransformation,
+                    speakers_per_batch: int, utterances_per_speaker: int):
+    def loss_fn(params, batch):
+        s, u = batch.shape[:2]
+        frames = batch.reshape(s * u, *batch.shape[2:])
+        embeds = model.apply({"params": params["model"]}, frames).reshape(s, u, -1)
+        loss, sim = ge2e_loss(embeds, params["similarity"]["weight"], params["similarity"]["bias"])
+        return loss, sim
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        (loss, sim), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+        # reference `model.py:33-39`: scale similarity grads ×0.01 before clipping
+        grads["similarity"] = jax.tree.map(lambda g: g * 0.01, grads["similarity"])
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        eer = equal_error_rate(sim, speakers_per_batch, utterances_per_speaker)
+        return params, opt_state, loss, eer
+
+    return train_step
+
+
+def train(run_id: str, clean_data_root: Path, models_dir: Path,
+          save_every: int = 500, backup_every: int = 7500,
+          total_steps: Optional[int] = None,
+          speakers_per_batch: int = SPEAKERS_PER_BATCH,
+          utterances_per_speaker: int = UTTERANCES_PER_SPEAKER,
+          learning_rate: float = LEARNING_RATE_INIT,
+          force_restart: bool = False, log_every: int = 10,
+          use_mesh: bool = True):
+    dataset = SpeakerVerificationDataset(Path(clean_data_root))
+    sampler = SpeakerBatchSampler(dataset, speakers_per_batch, utterances_per_speaker,
+                                  PARTIALS_N_FRAMES)
+
+    model = SpeakerEncoder()
+    params = init_params(jax.random.PRNGKey(0))
+    tx = optax.chain(optax.clip_by_global_norm(3.0), optax.adam(learning_rate))
+    opt_state = tx.init(params)
+
+    model_dir = Path(models_dir) / run_id
+    ckpt = CheckpointManager(model_dir / "ckpt", backup_every=backup_every)
+    init_step = 1
+    if not force_restart:
+        step0, restored = ckpt.restore_latest({"params": params, "opt_state": opt_state})
+        if step0 is not None:
+            params, opt_state = restored["params"], restored["opt_state"]
+            init_step = step0 + 1
+            print(f"Resumed encoder run {run_id} at step {step0}")
+
+    mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    train_step = make_train_step(model, tx, speakers_per_batch, utterances_per_speaker)
+
+    t0, losses, eers = time.time(), [], []
+    for step, batch in enumerate(sampler, init_step):
+        batch = shard_batch(mesh, jnp.asarray(batch))
+        params, opt_state, loss, eer = train_step(params, opt_state, batch)
+        losses.append(float(loss)); eers.append(float(eer))
+
+        if step % log_every == 0:
+            dt = (time.time() - t0) / log_every
+            print(f"step {step} | loss {sum(losses)/len(losses):.4f} | "
+                  f"EER {sum(eers)/len(eers):.4f} | {dt*1000:.0f} ms/step")
+            t0, losses, eers = time.time(), [], []
+        if save_every and step % save_every == 0:
+            ckpt.save(step, {"params": params, "opt_state": opt_state})
+        if total_steps is not None and step >= total_steps:
+            ckpt.save(step, {"params": params, "opt_state": opt_state}, force=True)
+            break
+    return params

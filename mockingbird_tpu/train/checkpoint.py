@@ -1,0 +1,73 @@
+"""Unified checkpointing for all model families (orbax-backed).
+
+Replaces the reference's five per-family checkpoint formats (SURVEY.md §5:
+encoder `{step, model_state, optimizer_state}`, Tacotron `Base.save/load`,
+VITS `G_/D_*.pth`, HiFi-GAN `g_/do_`, VC solver dicts) with one scheme:
+a directory of step-numbered orbax checkpoints holding an arbitrary pytree
+(params / optimizer state / step), with latest-discovery, periodic backups and
+resume semantics matching the reference trainers (save-every / backup-every,
+`models/synthesizer/train.py:230-237`).
+"""
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: ``save(step, state)`` / ``restore_latest(template)``."""
+
+    def __init__(self, directory, max_to_keep: int = 3, backup_every: Optional[int] = None):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.backup_every = backup_every
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, state: Any, force: bool = False) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+        self._mgr.wait_until_finished()
+        if self.backup_every and step % self.backup_every == 0:
+            src = self.directory / str(step)
+            dst = self.directory.parent / f"{self.directory.name}_backup_{step:06d}"
+            if src.exists() and not dst.exists():
+                shutil.copytree(src, dst)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore_latest(self, template: Any) -> tuple[Optional[int], Any]:
+        """Restore the newest checkpoint into the structure of ``template``.
+        Returns (step, state); (None, template) when nothing to restore."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None, template
+        state = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return step, state
+
+    def restore(self, step: int, template: Any) -> Any:
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_single(path, state: Any) -> None:
+    """One-shot whole-pytree save (for exporting inference weights)."""
+    path = Path(path).absolute()
+    if path.exists():
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state)
+
+
+def load_single(path, template: Any = None) -> Any:
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, template) if template is not None else ckptr.restore(path)
