@@ -18,3 +18,20 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: TPU compiles of the bigger programs run
+# 10-60 s; caching them across processes makes CLI tools start fast. Disable
+# with MB_COMPILATION_CACHE=0.
+import os as _os
+
+if (_os.environ.get("MB_COMPILATION_CACHE", "1") != "0"
+        and _os.environ.get("JAX_PLATFORMS", "") not in ("cpu",)):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ.get("MB_CACHE_DIR",
+                                           _os.path.expanduser("~/.cache/mockingbird_tpu/xla")))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

@@ -19,6 +19,20 @@ from pathlib import Path
 from typing import Any, Dict
 
 
+from types import SimpleNamespace
+
+
+class FrozenConfig(SimpleNamespace):
+    """Hashable-by-identity namespace used for model configs inside flax
+    modules. Create via ``Config.freeze()``."""
+
+    def __hash__(self):
+        return hash(tuple(sorted((k, repr(v)) for k, v in vars(self).items())))
+
+    def __eq__(self, other):
+        return isinstance(other, FrozenConfig) and vars(self) == vars(other)
+
+
 class Config(dict):
     """A dict with attribute access, deep merge, and CLI-string overrides."""
 
@@ -123,6 +137,18 @@ class Config(dict):
 
     def clone(self) -> "Config":
         return Config(self.to_dict())
+
+    def freeze(self) -> "FrozenConfig":
+        """Immutable attribute-struct view for use as a flax Module field
+        (flax coerces dict-valued fields to FrozenDict, which would lose
+        attribute access; a namespace passes through untouched)."""
+        def conv(v):
+            if isinstance(v, dict):
+                return FrozenConfig(**{k: conv(x) for k, x in v.items()})
+            if isinstance(v, list):
+                return tuple(conv(x) for x in v)
+            return v
+        return conv(self)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Config({json.dumps(self.to_dict(), indent=2, default=str)})"

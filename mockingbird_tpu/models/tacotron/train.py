@@ -1,0 +1,215 @@
+"""Tacotron trainer: schedule-driven sessions, SPMD data parallel.
+
+Parity with `/root/reference/models/synthesizer/train.py:26-316`:
+per-session (r, lr, max_step, batch_size) schedule, losses
+MSE+L1 on decoder mels + MSE on postnet + BCE on stop (`train.py:200-204`),
+grad-clip 1.0, periodic checkpoint/backup and eval artifacts (attention plot +
+griffin-lim wav). TPU-first: the multi-GPU `data_parallel_workaround`
+(`train.py:193-195`) becomes batch sharding over the mesh 'data' axis; the
+loss is computed on-device, gradients psum'd by XLA.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ...config import Config, sv2tts_audio_config
+from ...parallel.mesh import make_mesh, shard_batch
+from ...train.checkpoint import CheckpointManager
+from .dataset import DataLoader, SynthesizerDataset, collate_synthesizer
+from .model import Tacotron, init_tacotron, tacotron_config
+
+# (r, lr, final_step, batch_size) — reference `hparams.py:34-42`
+DEFAULT_SCHEDULE = (
+    (2, 1e-3, 10_000, 12), (2, 5e-4, 15_000, 12), (2, 2e-4, 20_000, 12),
+    (2, 1e-4, 30_000, 12), (2, 5e-5, 40_000, 12), (2, 1e-5, 60_000, 12),
+    (2, 5e-6, 160_000, 12), (2, 3e-6, 320_000, 12), (2, 1e-6, 640_000, 12),
+)
+
+
+def tacotron_loss(out, batch):
+    """`train.py:200-204`: m1 = MSE+L1(decoder, mel); m2 = MSE(postnet, mel);
+    stop BCE. Padded frames carry the silence value in the target so they
+    contribute as in the reference (which does not mask)."""
+    mel_out, post_out, _, stop_out = out
+    mels, stop_t = batch["mels"], batch["stop"]
+    m1 = jnp.mean((mel_out - mels) ** 2) + jnp.mean(jnp.abs(mel_out - mels))
+    m2 = jnp.mean((post_out - mels) ** 2)
+    eps = 1e-7
+    s = jnp.clip(stop_out, eps, 1 - eps)
+    stop_l = -jnp.mean(stop_t * jnp.log(s) + (1 - stop_t) * jnp.log(1 - s))
+    return m1 + m2 + stop_l, dict(m1=m1, m2=m2, stop=stop_l)
+
+
+def make_train_step(model: Tacotron, tx, r: int):
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step_fn(params_state, opt_state, batch, key):
+        params, batch_stats = params_state
+        dk, zk = jax.random.split(key)
+
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                batch["texts"], batch["mels"], batch["embeds"], r, True,
+                rngs={"dropout": dk, "zoneout": zk}, mutable=["batch_stats"])
+            loss, parts = tacotron_loss(out, batch)
+            return loss, (parts, mut["batch_stats"], out[2])
+
+        (loss, (parts, new_stats, attn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, new_stats), opt_state, loss, parts, attn
+
+    return step_fn
+
+
+def train(run_id: str, syn_dir: Path, models_dir: Path,
+          schedule=DEFAULT_SCHEDULE, save_every: int = 1000,
+          backup_every: int = 25_000, log_every: int = 10,
+          eval_every: int = 500, force_restart: bool = False,
+          total_steps: Optional[int] = None, use_mesh: bool = True,
+          cfg=None, audio_cfg=None, seed: int = 0):
+    syn_dir = Path(syn_dir)
+    cfg = cfg or tacotron_config()
+    audio_cfg = audio_cfg or sv2tts_audio_config()
+
+    dataset = SynthesizerDataset(syn_dir / "train.txt", syn_dir / "mels", syn_dir / "embeds")
+    model, variables = init_tacotron(jax.random.PRNGKey(seed), cfg)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    model_dir = Path(models_dir) / run_id
+    model_dir.mkdir(parents=True, exist_ok=True)
+    Config(cfg).to_json(model_dir / "config.json")  # sidecar (`train.py:78-83`)
+    ckpt = CheckpointManager(model_dir / "ckpt", backup_every=backup_every)
+
+    step = 1
+    opt_state_tpl = None
+    mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    eval_dir = model_dir / "eval"
+    eval_dir.mkdir(exist_ok=True)
+
+    for session_i, (r, lr, max_step, batch_size) in enumerate(schedule):
+        if step >= max_step:
+            continue
+        tx = optax.chain(optax.clip_by_global_norm(1.0),
+                         optax.adam(lr, b1=0.9, b2=0.999))
+        opt_state = tx.init(params)
+        if not force_restart and opt_state_tpl is None:
+            step0, restored = ckpt.restore_latest(
+                {"params": params, "batch_stats": batch_stats, "opt_state": opt_state})
+            if step0 is not None:
+                params, batch_stats = restored["params"], restored["batch_stats"]
+                opt_state = restored["opt_state"]
+                step = step0 + 1
+                print(f"Resumed {run_id} at step {step0}")
+            opt_state_tpl = True
+            if step >= max_step:
+                continue
+
+        if mesh is not None and batch_size % mesh.shape["data"] != 0:
+            batch_size = max(mesh.shape["data"],
+                             batch_size - batch_size % mesh.shape["data"])
+        loader = DataLoader(dataset, batch_size,
+                            partial(collate_synthesizer, r=r,
+                                    max_abs_value=audio_cfg.max_abs_value), seed=seed)
+        step_fn = make_train_step(model, tx, r)
+        print(f"Session {session_i}: r={r} lr={lr} batch={batch_size} until step {max_step}")
+
+        t0, loss_acc = time.time(), []
+        done = False
+        while not done:
+            for batch in loader:
+                batch = shard_batch(mesh, jax.tree.map(jnp.asarray, batch))
+                key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+                (params, batch_stats), opt_state, loss, parts, attn = step_fn(
+                    (params, batch_stats), opt_state, batch, key)
+                loss_acc.append(float(loss))
+
+                if step % log_every == 0:
+                    dt = (time.time() - t0) / log_every
+                    print(f"step {step} | loss {np.mean(loss_acc):.4f} | {dt*1000:.0f} ms/step")
+                    t0, loss_acc = time.time(), []
+                if save_every and step % save_every == 0:
+                    ckpt.save(step, {"params": params, "batch_stats": batch_stats,
+                                     "opt_state": opt_state})
+                if eval_every and step % eval_every == 0:
+                    _save_eval_artifacts(eval_dir, step, batch, attn)
+                step += 1
+                if step >= max_step or (total_steps and step > total_steps):
+                    done = True
+                    break
+            if len(loader) == 0:
+                raise RuntimeError("dataset smaller than one batch")
+        if total_steps and step > total_steps:
+            break
+
+    ckpt.save(step, {"params": params, "batch_stats": batch_stats, "opt_state": opt_state},
+              force=True)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def _save_eval_artifacts(eval_dir: Path, step: int, batch, attn):
+    """Attention plot PNG (`train.py:240-277` analogue)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        a = np.asarray(attn)[0]
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.imshow(a.T, aspect="auto", origin="lower", interpolation="none")
+        ax.set_xlabel("decoder step"); ax.set_ylabel("char")
+        fig.savefig(eval_dir / f"attention_{step:06d}.png", dpi=80)
+        plt.close(fig)
+    except Exception:
+        pass
+
+
+def run_gta_synthesis(run_id: str, syn_dir: Path, models_dir: Path, r: int = 2,
+                      batch_size: int = 16, cfg=None, seed: int = 0):
+    """Ground-truth-aligned mel synthesis for vocoder fine-tuning
+    (`models/synthesizer/synthesize.py:12-96`): teacher-forced eval-mode
+    forward over the training set, writes mels_gta/ + synthesized.txt."""
+    syn_dir = Path(syn_dir)
+    cfg = cfg or tacotron_config()
+    model, variables = init_tacotron(jax.random.PRNGKey(seed), cfg)
+    ckpt = CheckpointManager(Path(models_dir) / run_id / "ckpt")
+    step0, restored = ckpt.restore_latest(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"],
+         "opt_state": None})
+    if step0 is not None:
+        variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+        print(f"GTA with checkpoint step {step0}")
+
+    dataset = SynthesizerDataset(syn_dir / "train.txt", syn_dir / "mels", syn_dir / "embeds")
+    loader = DataLoader(dataset, batch_size, partial(collate_synthesizer, r=r),
+                        shuffle=False, drop_last=False, seed=seed)
+    out_dir = syn_dir / "mels_gta"
+    out_dir.mkdir(exist_ok=True)
+
+    @jax.jit
+    def fwd(batch, key):
+        dk, zk = jax.random.split(key)
+        out = model.apply(variables, batch["texts"], batch["mels"], batch["embeds"],
+                          r, False, rngs={"dropout": dk, "zoneout": zk})
+        return out[0]
+
+    meta_lines = []
+    for bi, batch in enumerate(loader):
+        mels = np.asarray(fwd(jax.tree.map(jnp.asarray, batch),
+                              jax.random.fold_in(jax.random.PRNGKey(seed), bi)))
+        for j, di in enumerate(batch["indices"]):
+            length = int(batch["mel_lengths"][j])
+            fname = Path(dataset.mel_fpaths[int(di)]).name
+            np.save(out_dir / fname, mels[j, :length].T)  # store (M, T) like ref
+            meta_lines.append(fname)
+    with (syn_dir / "synthesized.txt").open("w") as f:
+        f.write("\n".join(meta_lines))
+    print(f"Wrote {len(meta_lines)} GTA mels to {out_dir}")

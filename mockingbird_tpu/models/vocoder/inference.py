@@ -1,0 +1,83 @@
+"""Vocoder inference: mel → waveform, with the reference's hot-swap registry.
+
+Parity with the per-vocoder singletons (`models/vocoder/{hifigan,fregan,
+wavernn}/inference.py` — identical `load_model(fpath)` / `infer_waveform(mel)`
+surfaces) and the toolbox's dispatch-by-filename
+(`control/toolbox/__init__.py:437-473`: "hifigan"/"fregan" substring → GAN
+vocoder, else WaveRNN). Here each vocoder is an explicit object sharing a
+`Vocoder` protocol; `load_vocoder` does the name dispatch.
+"""
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import Config
+from ...train.checkpoint import load_single
+from .fregan import FreGanGenerator, fregan_config
+from .hifigan import Generator as HifiGenerator, hifigan_config
+
+
+def _bucket(n: int, size: int = 64) -> int:
+    return max(size, ((n + size - 1) // size) * size)
+
+
+class GanVocoder:
+    """Parallel conv vocoder wrapper (HiFi-GAN / Fre-GAN)."""
+
+    def __init__(self, arch: str = "hifigan", model_fpath: Optional[Union[str, Path]] = None,
+                 cfg=None, verbose: bool = True, seed: int = 0):
+        self.arch = arch
+        base = hifigan_config() if arch == "hifigan" else fregan_config()
+        self.cfg = Config(base).merge(cfg or {})
+        fcfg = self.cfg.freeze()
+        self.model = (HifiGenerator(fcfg) if arch == "hifigan" else FreGanGenerator(fcfg))
+        seg = self.cfg.segment_size // self.cfg.hop_size
+        params = self.model.init(jax.random.PRNGKey(seed),
+                                 jnp.zeros((1, seg, self.cfg.num_mels)))["params"]
+        if model_fpath is not None and Path(model_fpath).exists():
+            loaded = load_single(model_fpath)
+            params = loaded.get("g", loaded.get("params", loaded))
+            params = jax.tree.map(jnp.asarray, params)
+            if verbose:
+                print(f"Loaded {arch} from {model_fpath}")
+        elif verbose:
+            print(f"{arch}: fresh (untrained) weights")
+        self.params = params
+
+        @functools.partial(jax.jit)
+        def _fwd(p, mel):
+            return self.model.apply({"params": p}, mel)
+        self._fwd = _fwd
+
+    def infer_waveform(self, mel: np.ndarray) -> np.ndarray:
+        """mel (M, T) reference layout (synthesizer output) → wav float32.
+
+        Pads T to a bucket so repeat calls reuse the compiled program, then
+        trims (the generator is length-equivariant)."""
+        mel = np.asarray(mel, np.float32)
+        if mel.shape[0] == self.cfg.num_mels:
+            mel = mel.T  # → (T, M)
+        t = mel.shape[0]
+        t_pad = _bucket(t)
+        if t_pad != t:
+            mel = np.pad(mel, ((0, t_pad - t), (0, 0)), constant_values=mel.min())
+        wav = np.asarray(self._fwd(self.params, jnp.asarray(mel[None])))[0]
+        return wav[: t * self.cfg.hop_size]
+
+
+def load_vocoder(model_fpath: Union[str, Path, None] = None, verbose: bool = True):
+    """Dispatch by checkpoint filename, mirroring the toolbox rule
+    (`control/toolbox/__init__.py:437-473`)."""
+    name = str(model_fpath or "").lower()
+    if "fregan" in name:
+        return GanVocoder("fregan", model_fpath, verbose=verbose)
+    if "hifigan" in name or model_fpath is None:
+        return GanVocoder("hifigan", model_fpath, verbose=verbose)
+    from .wavernn import WaveRnnVocoder
+    return WaveRnnVocoder(model_fpath, verbose=verbose)

@@ -1,0 +1,328 @@
+"""WaveRNN (fatchord alternating) vocoder, TPU-native.
+
+Parity with `/root/reference/models/vocoder/wavernn/models/fatchord_version.py`
+(MelResNet + Stretch2d upsampler, 2×GRU + 3×FC → 512-class RAW softmax or MOL
+head, batched fold/overlap generation with equal-power crossfade, mu-law +
+de-emphasis) and `wavernn/hparams.py` (rnn 512, fc 512, bits 9, pad 2,
+res_blocks 10, target 8000 / overlap 400).
+
+TPU-first: the sample-by-sample generation loop (`fatchord_version.py:190-234`)
+runs as ONE jitted `lax.scan` over the folded batch — every per-step matmul is
+batched across folds, so a long utterance keeps the MXU busy; sampling uses
+the on-device PRNG. Default upsample factors are (4, 8, 8) to factorise the
+SV2TTS hop 256 (the reference ships (5, 5, 8)=200, which its own trainer
+asserts against hop — both are supported via config).
+"""
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Any, Optional, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import Config
+from ...dsp import decode_mu_law, inv_preemphasis_np
+from ...train.checkpoint import load_single
+from .distribution import sample_from_discretized_mix_logistic
+
+
+def wavernn_config() -> Config:
+    return Config(
+        mode="RAW",                # 'RAW' (9-bit softmax) or 'MOL'
+        bits=9,
+        mu_law=True,
+        rnn_dims=512,
+        fc_dims=512,
+        pad=2,
+        upsample_factors=[4, 8, 8],   # factorises hop 256 (see module docstring)
+        feat_dims=80,
+        compute_dims=128,
+        res_out_dims=128,
+        res_blocks=10,
+        hop_size=256,
+        sample_rate=16000,
+        seq_len=256 * 5,
+        batch_size=100,
+        learning_rate=1e-4,
+        gen_batched=True,
+        gen_target=8000,
+        gen_overlap=400,
+        apply_preemphasis=True,
+        preemphasis=0.97,
+        mel_max_abs_value=4.0,
+    )
+
+
+class ResBlock(nn.Module):
+    """1×1 conv + BN residual block (`fatchord_version.py:9-24`)."""
+    dims: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        x = nn.Conv(self.dims, (1,), use_bias=False, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.dims, (1,), use_bias=False, name="conv2")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(x)
+        return x + residual
+
+
+class MelResNet(nn.Module):
+    """k=2*pad+1 valid conv + res stack (`fatchord_version.py:27-44`).
+    Consumes ``pad`` frames each side: (B, T, M) → (B, T-2*pad, res_out)."""
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        c = self.cfg
+        k = c.pad * 2 + 1
+        x = nn.Conv(c.compute_dims, (k,), padding="VALID", use_bias=False, name="conv_in")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
+        x = nn.relu(x)
+        for i in range(c.res_blocks):
+            x = ResBlock(c.compute_dims, name=f"res_{i}")(x, train)
+        return nn.Conv(c.res_out_dims, (1,), name="conv_out")(x)
+
+
+class UpsampleNetwork(nn.Module):
+    """Stretch + box-init smoothing convs for mel; nearest-stretch for aux
+    (`fatchord_version.py:47-85`). (B, T, M) → (B, (T-2p)*hop, M), aux same T."""
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, m, train: bool):
+        c = self.cfg
+        total = int(np.prod(c.upsample_factors))
+        indent = c.pad * total
+
+        aux = MelResNet(c, name="resnet")(m, train)        # (B, T-2p, res_out)
+        aux = jnp.repeat(aux, total, axis=1)                # nearest stretch
+
+        x = m[..., None]  # (B, T, M, 1) — treat like NHWC with W=M
+        for i, scale in enumerate(c.upsample_factors):
+            x = jnp.repeat(x, scale, axis=1)
+            k = scale * 2 + 1
+            conv = nn.Conv(1, (k, 1), padding=((scale, scale), (0, 0)), use_bias=False,
+                           kernel_init=nn.initializers.constant(1.0 / k),
+                           name=f"up_conv_{i}")
+            x = conv(x)
+        x = x[..., 0][:, indent:-indent, :]
+        return x, aux
+
+
+class WaveRNN(nn.Module):
+    """Core net. Training: full sequences through GRU layers; generation uses
+    `step` with explicit hidden state (same params)."""
+    cfg: Any
+
+    def setup(self):
+        c = self.cfg
+        self.n_classes = 2 ** c.bits if c.mode == "RAW" else 30
+        self.aux_dims = c.res_out_dims // 4
+        self.upsample = UpsampleNetwork(c, name="upsample")
+        self.I = nn.Dense(c.rnn_dims, name="I")
+        self.rnn1 = nn.RNN(nn.GRUCell(c.rnn_dims), name="rnn1")
+        self.rnn2 = nn.RNN(nn.GRUCell(c.rnn_dims), name="rnn2")
+        self.fc1 = nn.Dense(c.fc_dims, name="fc1")
+        self.fc2 = nn.Dense(c.fc_dims, name="fc2")
+        self.fc3 = nn.Dense(self.n_classes, name="fc3")
+
+    def __call__(self, x, mels, train: bool = True):
+        """x (B, T) float in [-1,1]; mels (B, T/hop + 2*pad, M) →
+        logits (B, T, n_classes) (`fatchord_version.py:117-151`)."""
+        c = self.cfg
+        mels_up, aux = self.upsample(mels, train)
+        d = self.aux_dims
+        a1, a2, a3, a4 = (aux[..., i * d:(i + 1) * d] for i in range(4))
+
+        inp = jnp.concatenate([x[..., None], mels_up, a1], axis=-1)
+        h = self.I(inp)
+        res = h
+        h = self.rnn1(h)
+        h = h + res
+        res = h
+        h2 = self.rnn2(jnp.concatenate([h, a2], axis=-1))
+        h = h2 + res
+        h = nn.relu(self.fc1(jnp.concatenate([h, a3], axis=-1)))
+        h = nn.relu(self.fc2(jnp.concatenate([h, a4], axis=-1)))
+        return self.fc3(h)
+
+    # -- generation primitives ---------------------------------------------
+
+    def upsample_features(self, mels):
+        """Eval-mode conditioning features for generation."""
+        return self.upsample(mels, False)
+
+    def gen_step(self, x, m_t, a1_t, a2_t, a3_t, a4_t, h1, h2):
+        """One AR sample step (`fatchord_version.py:190-215`). All (B, ·)."""
+        u = self.I(jnp.concatenate([x[:, None], m_t, a1_t], axis=1))
+        h1, _ = self.rnn1.cell(h1, u)
+        u = u + h1
+        h2, _ = self.rnn2.cell(h2, jnp.concatenate([u, a2_t], axis=1))
+        u = u + h2
+        u = nn.relu(self.fc1(jnp.concatenate([u, a3_t], axis=1)))
+        u = nn.relu(self.fc2(jnp.concatenate([u, a4_t], axis=1)))
+        return self.fc3(u), h1, h2
+
+
+# ---------------------------------------------------------------------------
+# Fold / crossfade-unfold (`fatchord_version.py:288-402`)
+# ---------------------------------------------------------------------------
+
+def fold_with_overlap(x: np.ndarray, target: int, overlap: int) -> np.ndarray:
+    """(1, T, C) → (num_folds, target + 2*overlap, C)."""
+    _, total_len, features = x.shape
+    num_folds = (total_len - overlap) // (target + overlap)
+    extended_len = num_folds * (overlap + target) + overlap
+    remaining = total_len - extended_len
+    if remaining != 0:
+        num_folds += 1
+        padding = target + 2 * overlap - remaining
+        x = np.pad(x, ((0, 0), (0, padding), (0, 0)))
+    folded = np.zeros((num_folds, target + 2 * overlap, features), x.dtype)
+    for i in range(num_folds):
+        start = i * (target + overlap)
+        folded[i] = x[0, start : start + target + 2 * overlap]
+    return folded
+
+
+def xfade_and_unfold(y: np.ndarray, overlap: int) -> np.ndarray:
+    """(num_folds, target + 2*overlap) → (total,) with equal-power crossfade."""
+    num_folds, length = y.shape
+    target = length - 2 * overlap
+    total_len = num_folds * (target + overlap) + overlap
+
+    silence_len = overlap // 2
+    fade_len = overlap - silence_len
+    t = np.linspace(-1, 1, fade_len, dtype=np.float64)
+    fade_in = np.concatenate([np.zeros(silence_len), np.sqrt(0.5 * (1 + t))])
+    fade_out = np.concatenate([np.sqrt(0.5 * (1 - t)), np.zeros(silence_len)])
+
+    y = y.astype(np.float64).copy()
+    y[:, :overlap] *= fade_in
+    y[:, -overlap:] *= fade_out
+
+    unfolded = np.zeros(total_len)
+    for i in range(num_folds):
+        start = i * (target + overlap)
+        unfolded[start : start + length] += y[i]
+    return unfolded
+
+
+# ---------------------------------------------------------------------------
+# Inference wrapper
+# ---------------------------------------------------------------------------
+
+class WaveRnnVocoder:
+    """mel (M, T) ±4-normalised → waveform; reference surface
+    (`wavernn/inference.py:8-64`)."""
+
+    def __init__(self, model_fpath: Optional[Union[str, Path]] = None,
+                 cfg=None, verbose: bool = True, seed: int = 0):
+        self.cfg = Config(wavernn_config()).merge(cfg or {})
+        fcfg = self.cfg.freeze()
+        self.model = WaveRNN(fcfg)
+        total = int(np.prod(self.cfg.upsample_factors))
+        assert total == self.cfg.hop_size, \
+            f"upsample factors {self.cfg.upsample_factors} must factorise hop {self.cfg.hop_size}"
+        variables = self.model.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, 2 * self.cfg.hop_size)),
+            jnp.zeros((1, 2 + 2 * self.cfg.pad, self.cfg.feat_dims)))
+        if model_fpath is not None and Path(model_fpath).exists():
+            loaded = load_single(model_fpath)
+            variables = {"params": jax.tree.map(jnp.asarray, loaded["params"]),
+                         "batch_stats": jax.tree.map(jnp.asarray, loaded["batch_stats"])}
+            if verbose:
+                print(f"Loaded WaveRNN from {model_fpath}")
+        elif verbose:
+            print("WaveRNN: fresh (untrained) weights")
+        self.variables = variables
+
+    @functools.lru_cache(maxsize=4)
+    def _gen_fn(self, num_folds: int, seq_len: int):
+        model, variables, cfg = self.model, self.variables, self.cfg
+        mode = cfg.mode
+        n_classes = 2 ** cfg.bits if mode == "RAW" else 30
+
+        @jax.jit
+        def gen(mels_folded, aux_folded, key):
+            b = mels_folded.shape[0]
+            d = cfg.res_out_dims // 4
+            auxs = tuple(aux_folded[..., i * d:(i + 1) * d] for i in range(4))
+
+            def body(carry, inp):
+                x, h1, h2, key = carry
+                m_t, a1, a2, a3, a4 = inp
+                logits, h1, h2 = model.apply(
+                    variables, x, m_t, a1, a2, a3, a4, h1, h2,
+                    method=WaveRNN.gen_step)
+                key, sub = jax.random.split(key)
+                if mode == "RAW":
+                    sample_cls = jax.random.categorical(sub, logits, axis=-1)
+                    sample = 2.0 * sample_cls.astype(jnp.float32) / (n_classes - 1.0) - 1.0
+                else:
+                    sample = sample_from_discretized_mix_logistic(
+                        sub, logits[:, None, :])[:, 0]
+                return (sample, h1, h2, key), sample
+
+            z = jnp.zeros((b, cfg.rnn_dims))
+            init = (jnp.zeros((b,)), z, z, key)
+            xs = (jnp.swapaxes(mels_folded, 0, 1),
+                  *(jnp.swapaxes(a, 0, 1) for a in auxs))
+            _, samples = jax.lax.scan(body, init, xs)
+            return jnp.swapaxes(samples, 0, 1)  # (B, T)
+
+        return gen
+
+    def infer_waveform(self, mel: np.ndarray, normalize: bool = True,
+                       batched: Optional[bool] = None,
+                       target: Optional[int] = None, overlap: Optional[int] = None,
+                       seed: int = 0) -> np.ndarray:
+        cfg = self.cfg
+        batched = cfg.gen_batched if batched is None else batched
+        target = target or cfg.gen_target
+        overlap = overlap or cfg.gen_overlap
+
+        mel = np.asarray(mel, np.float32)
+        if mel.shape[0] == cfg.feat_dims:
+            mel = mel.T  # (T, M)
+        if normalize:
+            mel = mel / cfg.mel_max_abs_value  # ±4 → ±1 (`wavernn/inference.py:60-61`)
+        wave_len = (mel.shape[0] - 1) * cfg.hop_size
+
+        mel_p = np.pad(mel, ((cfg.pad, cfg.pad), (0, 0)))[None]  # (1, T+2p, M)
+        mels_up, aux = jax.jit(functools.partial(self.model.apply, self.variables,
+                                                 method=WaveRNN.upsample_features))(
+            jnp.asarray(mel_p))
+        mels_up, aux = np.asarray(mels_up), np.asarray(aux)
+
+        if batched:
+            mels_f = fold_with_overlap(mels_up, target, overlap)
+            aux_f = fold_with_overlap(aux, target, overlap)
+        else:
+            mels_f, aux_f = mels_up, aux
+
+        gen = self._gen_fn(mels_f.shape[0], mels_f.shape[1])
+        samples = np.asarray(gen(jnp.asarray(mels_f), jnp.asarray(aux_f),
+                                 jax.random.PRNGKey(seed)), np.float64)
+
+        if batched:
+            output = xfade_and_unfold(samples, overlap)
+        else:
+            output = samples[0]
+
+        if cfg.mu_law and cfg.mode == "RAW":
+            output = decode_mu_law(output, 2 ** cfg.bits, False)
+        if cfg.apply_preemphasis:
+            output = inv_preemphasis_np(output, cfg.preemphasis)
+
+        output = output[:wave_len]
+        fade = min(len(output), 20 * cfg.hop_size)
+        output[-fade:] *= np.linspace(1, 0, fade)
+        return output.astype(np.float32)

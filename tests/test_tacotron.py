@@ -1,0 +1,124 @@
+"""Tacotron tests: forward shapes, training step reduces loss on a toy task,
+generation loop determinism + stop behaviour, GTA, and the Synthesizer API."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mockingbird_tpu.config import Config
+from mockingbird_tpu.models.tacotron import (
+    Synthesizer, Tacotron, collate_synthesizer, init_tacotron, tacotron_config,
+    tacotron_loss,
+)
+
+
+def small_cfg():
+    return tacotron_config().merge(dict(
+        embed_dims=32, encoder_dims=16, decoder_dims=16, postnet_dims=32,
+        lstm_dims=32, gst_E=16, gst_num_heads=4, gst_ref_filters=(4, 4),
+        speaker_embedding_size=8, max_r=4, n_mels=20, fft_bins=20))
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    return init_tacotron(jax.random.PRNGKey(0), small_cfg())
+
+
+def test_forward_shapes(small_model):
+    model, variables = small_model
+    texts = jnp.asarray(np.random.RandomState(0).randint(1, 60, (2, 12)), jnp.int32)
+    mels = jnp.asarray(np.random.RandomState(1).randn(2, 8, 20), jnp.float32)
+    spk = jnp.asarray(np.random.RandomState(2).randn(2, 8), jnp.float32)
+    out, _ = model.apply(variables, texts, mels, spk, 2, True,
+                         rngs={"dropout": jax.random.PRNGKey(1),
+                               "zoneout": jax.random.PRNGKey(2)},
+                         mutable=["batch_stats"])
+    mel_out, post, attn, stop = out
+    assert mel_out.shape == (2, 8, 20)
+    assert post.shape == (2, 8, 20)
+    assert attn.shape == (2, 4, 12)
+    assert stop.shape == (2, 8)
+    # attention rows are distributions over text
+    np.testing.assert_allclose(np.asarray(attn).sum(-1), 1.0, atol=1e-5)
+    assert (np.asarray(stop) >= 0).all() and (np.asarray(stop) <= 1).all()
+
+
+def test_train_step_reduces_loss(small_model):
+    import optax
+    model, variables = small_model
+    params, stats = variables["params"], variables["batch_stats"]
+    rng = np.random.RandomState(0)
+    batch = dict(
+        texts=jnp.asarray(rng.randint(1, 60, (2, 12)), jnp.int32),
+        mels=jnp.asarray(rng.randn(2, 8, 20) * 0.1, jnp.float32),
+        embeds=jnp.asarray(rng.randn(2, 8), jnp.float32),
+        stop=jnp.asarray(np.tile([0, 0, 0, 0, 0, 0, 0, 1.0], (2, 1)), jnp.float32),
+    )
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, stats, opt_state, key):
+        dk, zk = jax.random.split(key)
+        def loss_fn(p):
+            out, mut = model.apply({"params": p, "batch_stats": stats},
+                                   batch["texts"], batch["mels"], batch["embeds"], 2, True,
+                                   rngs={"dropout": dk, "zoneout": zk},
+                                   mutable=["batch_stats"])
+            loss, _ = tacotron_loss(out, batch)
+            return loss, mut["batch_stats"]
+        (loss, stats2), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), stats2, opt_state, loss
+
+    losses = []
+    for i in range(15):
+        params, stats, opt_state, loss = step(params, stats, opt_state,
+                                              jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_synthesizer_generation():
+    """End-to-end text→mel with fresh weights: shapes, determinism, and the
+    (M, T) reference output layout."""
+    syn = Synthesizer(cfg=small_cfg(), verbose=False)
+    syn.load()
+    embeds = np.random.RandomState(0).randn(2, 8).astype(np.float32)
+    specs = syn.synthesize_spectrograms(["ni3 hao3", "hello world"], embeds,
+                                        steps=40, r=2)
+    assert len(specs) == 2
+    for s in specs:
+        assert s.shape[0] == 20  # (M, T)
+        assert s.shape[1] >= 1
+    specs2 = syn.synthesize_spectrograms(["ni3 hao3", "hello world"], embeds,
+                                         steps=40, r=2)
+    np.testing.assert_allclose(specs[0], specs2[0], atol=1e-5)
+
+
+def test_collate():
+    rng = np.random.RandomState(0)
+    batch = [(np.arange(1, 8, dtype=np.int32), rng.randn(13, 20).astype(np.float32),
+              rng.randn(8).astype(np.float32), 0),
+             (np.arange(1, 15, dtype=np.int32), rng.randn(37, 20).astype(np.float32),
+              rng.randn(8).astype(np.float32), 1)]
+    out = collate_synthesizer(batch, r=2, max_abs_value=4.0, text_bucket=8, mel_bucket=16)
+    assert out["texts"].shape == (2, 16)
+    assert out["mels"].shape[1] % 2 == 0 and out["mels"].shape[1] >= 37
+    # padding is silence
+    assert out["mels"][0, -1, 0] == -4.0
+    # stop targets: 0 before end, 1 after
+    assert out["stop"][0, 0] == 0 and out["stop"][0, -1] == 1
+
+
+def test_gst_token_styles():
+    """Different style tokens give different mels."""
+    syn = Synthesizer(cfg=small_cfg(), verbose=False)
+    syn.load()
+    emb = np.random.RandomState(0).randn(1, 8).astype(np.float32)
+    a = syn.synthesize_spectrograms(["ni3 hao3"], emb, steps=20, r=2, style_idx=0)[0]
+    b = syn.synthesize_spectrograms(["ni3 hao3"], emb, steps=20, r=2, style_idx=1)[0]
+    n = min(a.shape[1], b.shape[1])
+    assert not np.allclose(a[:, :n], b[:, :n])
