@@ -1,0 +1,255 @@
+"""Unified command-line interface.
+
+Mirrors the reference's entry points (SURVEY.md §1: `pre.py`, `train.py
+--type={synth,vits}`, `control/cli/*`, `gen_voice.py`, `run.py`, `web.py`)
+as subcommands of one tool:
+
+  python -m mockingbird_tpu.cli preprocess <datasets_root> [--dataset ...]
+  python -m mockingbird_tpu.cli embed <syn_dir> [--encoder ...]
+  python -m mockingbird_tpu.cli train-encoder <clean_dir> ...
+  python -m mockingbird_tpu.cli train-synth <syn_dir> ...
+  python -m mockingbird_tpu.cli train-vits <syn_dir> ...
+  python -m mockingbird_tpu.cli train-vocoder <syn_dir> --arch {hifigan,fregan,wavernn}
+  python -m mockingbird_tpu.cli gta <syn_dir> ...
+  python -m mockingbird_tpu.cli preprocess-vc <wav_dir> <out_dir>
+  python -m mockingbird_tpu.cli train-vc <vc_dir> ...
+  python -m mockingbird_tpu.cli tts "text" --ref ref.wav --out out.wav
+  python -m mockingbird_tpu.cli convert --ref ref.wav src1.wav src2.wav --out-dir out/
+  python -m mockingbird_tpu.cli serve [--port 8080]
+  python -m mockingbird_tpu.cli encoder-preprocess <datasets_root> ...
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def _print_args(args: argparse.Namespace) -> None:
+    """Pretty arg dump (`utils/argutils.py:22` parity)."""
+    items = sorted(vars(args).items())
+    width = max((len(k) for k, _ in items), default=0)
+    print("Arguments:")
+    for k, v in items:
+        if k != "func":
+            print(f"    {k:{width}}: {v}")
+    print()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mockingbird_tpu",
+                                description="TPU-native voice cloning framework")
+    p.add_argument("--hparams", type=str, default="",
+                   help="comma-separated overrides, e.g. a=1,b.c=2")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("preprocess", help="synthesizer dataset preprocessing (pre.py)")
+    sp.add_argument("datasets_root", type=Path)
+    sp.add_argument("-o", "--out_dir", type=Path, default=None)
+    sp.add_argument("-d", "--dataset", default="aidatatang_200zh")
+    sp.add_argument("-n", "--n_processes", type=int, default=8)
+    sp.add_argument("-s", "--skip_existing", action="store_true")
+    sp.set_defaults(func=cmd_preprocess)
+
+    sp = sub.add_parser("embed", help="create speaker embeddings for a syn dir")
+    sp.add_argument("syn_dir", type=Path)
+    sp.add_argument("-e", "--encoder_model_fpath", type=Path, default=None)
+    sp.set_defaults(func=cmd_embed)
+
+    sp = sub.add_parser("encoder-preprocess", help="speaker-encoder corpus preprocessing")
+    sp.add_argument("datasets_root", type=Path)
+    sp.add_argument("-o", "--out_dir", type=Path, default=None)
+    sp.add_argument("-d", "--datasets", default="librispeech_other",
+                    help="comma list: librispeech_other,voxceleb1,voxceleb2,"
+                         "aidatatang_200zh or any generic <name>")
+    sp.add_argument("-s", "--skip_existing", action="store_true")
+    sp.set_defaults(func=cmd_encoder_preprocess)
+
+    sp = sub.add_parser("train-encoder")
+    sp.add_argument("clean_data_root", type=Path)
+    sp.add_argument("run_id")
+    sp.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
+    sp.add_argument("--total_steps", type=int, default=None)
+    sp.set_defaults(func=cmd_train_encoder)
+
+    sp = sub.add_parser("train-synth", help="train.py --type=synth")
+    sp.add_argument("syn_dir", type=Path)
+    sp.add_argument("run_id")
+    sp.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
+    sp.add_argument("--total_steps", type=int, default=None)
+    sp.set_defaults(func=cmd_train_synth)
+
+    sp = sub.add_parser("train-vits", help="train.py --type=vits")
+    sp.add_argument("syn_dir", type=Path)
+    sp.add_argument("run_id")
+    sp.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
+    sp.add_argument("--batch_size", type=int, default=16)
+    sp.add_argument("--total_steps", type=int, default=None)
+    sp.set_defaults(func=cmd_train_vits)
+
+    sp = sub.add_parser("train-vocoder")
+    sp.add_argument("syn_dir", type=Path)
+    sp.add_argument("run_id")
+    sp.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
+    sp.add_argument("--arch", choices=("hifigan", "fregan", "wavernn"), default="hifigan")
+    sp.add_argument("--ground_truth", action="store_true",
+                    help="train on GT mels instead of GTA")
+    sp.add_argument("--total_steps", type=int, default=None)
+    sp.set_defaults(func=cmd_train_vocoder)
+
+    sp = sub.add_parser("gta", help="ground-truth-aligned synthesis for vocoder finetune")
+    sp.add_argument("syn_dir", type=Path)
+    sp.add_argument("run_id")
+    sp.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
+    sp.set_defaults(func=cmd_gta)
+
+    sp = sub.add_parser("preprocess-vc", help="PPG/f0/embed extraction (pre4ppg.py)")
+    sp.add_argument("wav_dir", type=Path)
+    sp.add_argument("out_dir", type=Path)
+    sp.set_defaults(func=cmd_preprocess_vc)
+
+    sp = sub.add_parser("train-vc", help="ppg2mel training")
+    sp.add_argument("vc_dir", type=Path)
+    sp.add_argument("run_id")
+    sp.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
+    sp.add_argument("--total_steps", type=int, default=None)
+    sp.set_defaults(func=cmd_train_vc)
+
+    sp = sub.add_parser("tts", help="clone a voice (gen_voice.py)")
+    sp.add_argument("text")
+    sp.add_argument("--ref", type=Path, required=True, help="reference wav")
+    sp.add_argument("--out", type=Path, default=Path("out.wav"))
+    sp.add_argument("--encoder", type=Path, default=None)
+    sp.add_argument("--synth", type=Path, default=None)
+    sp.add_argument("--vocoder", type=Path, default=None)
+    sp.add_argument("--synthesizer", choices=("tacotron", "vits"), default="tacotron")
+    sp.add_argument("--style_idx", type=int, default=0)
+    sp.add_argument("--griffin-lim", action="store_true")
+    sp.set_defaults(func=cmd_tts)
+
+    sp = sub.add_parser("convert", help="one-shot voice conversion (run.py)")
+    sp.add_argument("sources", nargs="+", type=Path)
+    sp.add_argument("--ref", type=Path, required=True)
+    sp.add_argument("--out-dir", type=Path, default=Path("vc_out"))
+    sp.add_argument("--ppg2mel", type=Path, default=None)
+    sp.add_argument("--vocoder", type=Path, default=None)
+    sp.set_defaults(func=cmd_convert)
+
+    sp = sub.add_parser("serve", help="HTTP serving (web.py)")
+    sp.add_argument("--port", type=int, default=8080)
+    sp.add_argument("--encoder", type=Path, default=None)
+    sp.add_argument("--synth", type=Path, default=None)
+    sp.add_argument("--vocoder", type=Path, default=None)
+    sp.set_defaults(func=cmd_serve)
+
+    return p
+
+
+# -- command impls ----------------------------------------------------------
+
+def cmd_preprocess(args):
+    from ..models.tacotron.preprocess import preprocess_dataset
+    out = args.out_dir or (args.datasets_root / "SV2TTS" / "synthesizer")
+    preprocess_dataset(args.datasets_root, out, args.n_processes,
+                       args.skip_existing, args.dataset)
+
+
+def cmd_embed(args):
+    from ..models.tacotron.preprocess import create_embeddings
+    create_embeddings(args.syn_dir, args.encoder_model_fpath)
+
+
+def cmd_encoder_preprocess(args):
+    from ..models.encoder import preprocess as ep
+    out = args.out_dir or (args.datasets_root / "SV2TTS" / "encoder")
+    known = {
+        "librispeech_other": ep.preprocess_librispeech,
+        "voxceleb1": ep.preprocess_voxceleb1,
+        "voxceleb2": ep.preprocess_voxceleb2,
+        "aidatatang_200zh": ep.preprocess_aidatatang_200zh,
+    }
+    for name in args.datasets.split(","):
+        fn = known.get(name.strip())
+        if fn:
+            fn(args.datasets_root, out, args.skip_existing)
+        else:
+            ep.preprocess_generic(args.datasets_root, name.strip(), out, args.skip_existing)
+
+
+def cmd_train_encoder(args):
+    from ..models.encoder.train import train
+    train(args.run_id, args.clean_data_root, args.models_dir,
+          total_steps=args.total_steps)
+
+
+def cmd_train_synth(args):
+    from ..models.tacotron.train import train
+    train(args.run_id, args.syn_dir, args.models_dir, total_steps=args.total_steps)
+
+
+def cmd_train_vits(args):
+    from ..models.vits.train import train
+    train(args.run_id, args.syn_dir, args.models_dir, batch_size=args.batch_size,
+          total_steps=args.total_steps)
+
+
+def cmd_train_vocoder(args):
+    if args.arch == "wavernn":
+        from ..models.vocoder.wavernn_train import train
+        train(args.run_id, args.syn_dir, args.models_dir,
+              ground_truth=args.ground_truth, total_steps=args.total_steps)
+    else:
+        from ..models.vocoder.gan_train import train
+        train(args.run_id, args.syn_dir, args.models_dir, arch=args.arch,
+              fine_tuning=not args.ground_truth, total_steps=args.total_steps)
+
+
+def cmd_gta(args):
+    from ..models.tacotron.train import run_gta_synthesis
+    run_gta_synthesis(args.run_id, args.syn_dir, args.models_dir)
+
+
+def cmd_preprocess_vc(args):
+    from ..models.ppg import preprocess_vc_dataset
+    preprocess_vc_dataset(args.wav_dir, args.out_dir)
+
+
+def cmd_train_vc(args):
+    from ..models.ppg.train import train
+    train(args.run_id, args.vc_dir, args.models_dir, total_steps=args.total_steps)
+
+
+def cmd_tts(args):
+    from ..pipeline import VoiceCloningPipeline
+    pipe = VoiceCloningPipeline(args.encoder, args.synth, args.vocoder,
+                                synthesizer=args.synthesizer)
+    rtf = pipe.tts_to_file(args.text, args.ref, args.out,
+                           style_idx=args.style_idx,
+                           use_griffin_lim=args.griffin_lim)
+    print(f"Wrote {args.out} (RTF {rtf:.1f}x)")
+
+
+def cmd_convert(args):
+    from ..models.ppg import VoiceConverter
+    from ..models.vocoder import load_vocoder
+    vc = VoiceConverter(args.ppg2mel)
+    vc.set_reference(args.ref)
+    vocoder = load_vocoder(args.vocoder) if args.vocoder else None
+    vc.convert_files(args.sources, args.out_dir, vocoder)
+
+
+def cmd_serve(args):
+    from ..serve.http import serve
+    serve(port=args.port, encoder_fpath=args.encoder,
+          synthesizer_fpath=args.synth, vocoder_fpath=args.vocoder)
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    _print_args(args)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -114,13 +114,13 @@ class SpeakerEncoderInference:
         partial_embeds = self.embed_frames_batch(frames_batch)
 
         raw_embed = np.mean(partial_embeds, axis=0)
-        embed = raw_embed / np.linalg.norm(raw_embed, 2)
+        embed = raw_embed / max(np.linalg.norm(raw_embed, 2), 1e-10)
         return (embed, partial_embeds, wave_slices) if return_partials else embed
 
     def embed_speaker(self, wavs: list) -> np.ndarray:
         """Mean-of-utterance-embeddings speaker embedding (`inference.py:175-181`)."""
         raw = np.mean([self.embed_utterance(w) for w in wavs], axis=0)
-        return raw / np.linalg.norm(raw, 2)
+        return raw / max(np.linalg.norm(raw, 2), 1e-10)
 
     def preprocess_wav(self, fpath_or_wav, source_sr: Optional[int] = None) -> np.ndarray:
         return preprocess_wav(fpath_or_wav, self.cfg, source_sr)

@@ -30,8 +30,9 @@ from ...config import Config
 
 def tacotron_config() -> Config:
     """Model hyperparameters (reference `hparams.py:17-32`, `gst_hyperparameters.py`)."""
+    from ...text import symbols as _symbols
     return Config(
-        num_chars=66,               # len(text.symbols)
+        num_chars=len(_symbols),    # 75: pad+eos+letters+digits+punct
         embed_dims=512,
         encoder_dims=256,
         decoder_dims=128,

@@ -1,0 +1,83 @@
+"""VITS inference: text (+ speaker id + emotion) → waveform directly.
+
+Parity with the reference's use of `Vits.infer` from the toolbox/web layers
+(`vits.py:498-527`): bucketed static shapes, one jitted program per bucket.
+"""
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import Config
+from ...text import text_to_sequence, romanize
+from ...train.checkpoint import load_single
+from .model import Vits, init_vits, vits_config
+
+
+def _bucket(n, size):
+    return max(size, ((n + size - 1) // size) * size)
+
+
+class VitsSynthesizer:
+    def __init__(self, model_fpath: Optional[Union[str, Path]] = None,
+                 cfg=None, verbose: bool = True, seed: int = 0):
+        self.cfg = Config(vits_config()).merge(cfg or {})
+        self.seed = seed
+        model, variables = init_vits(jax.random.PRNGKey(seed), self.cfg.clone())
+        if model_fpath is not None and Path(model_fpath).exists():
+            loaded = load_single(model_fpath)
+            params = loaded.get("g", loaded.get("params", loaded))
+            variables = {"params": jax.tree.map(jnp.asarray, params)}
+            if verbose:
+                print(f"Loaded VITS from {model_fpath}")
+        elif verbose:
+            print("VITS: fresh (untrained) weights")
+        self.model = model
+        self.variables = variables
+
+    @functools.lru_cache(maxsize=8)
+    def _infer_fn(self, t_text: int, max_frames: int):
+        model = self.model
+
+        @jax.jit
+        def f(variables, x, x_lengths, sid, emo, key, noise_scale, length_scale, noise_scale_w):
+            k1, k2 = jax.random.split(key)
+            o, attn, y_mask, y_lengths = model.apply(
+                variables, x, x_lengths, sid, emo,
+                noise_scale=noise_scale, length_scale=length_scale,
+                noise_scale_w=noise_scale_w, max_len=max_frames, key=k1,
+                method=Vits.infer, rngs={"dropout": k2})
+            return o, y_lengths
+        return f
+
+    def synthesize(self, texts: List[str], sids: Optional[np.ndarray] = None,
+                   emos: Optional[np.ndarray] = None, noise_scale: float = 0.667,
+                   length_scale: float = 1.0, noise_scale_w: float = 0.8,
+                   max_frames: int = 1000) -> List[np.ndarray]:
+        cfg = self.cfg
+        seqs = [np.asarray(text_to_sequence(romanize(t)), np.int32) for t in texts]
+        b = len(seqs)
+        t_text = _bucket(max(len(s) for s in seqs), 16)
+        x = np.zeros((b, t_text), np.int32)
+        xl = np.zeros((b,), np.int32)
+        for i, s in enumerate(seqs):
+            x[i, : len(s)] = s
+            xl[i] = len(s)
+        sids = np.zeros((b,), np.int32) if sids is None else np.asarray(sids, np.int32)
+        emos = (np.zeros((b, cfg.emotion_channels), np.float32) if emos is None
+                else np.asarray(emos, np.float32))
+
+        fn = self._infer_fn(t_text, max_frames)
+        o, y_lengths = fn(self.variables, jnp.asarray(x), jnp.asarray(xl),
+                          jnp.asarray(sids), jnp.asarray(emos),
+                          jax.random.PRNGKey(self.seed),
+                          jnp.float32(noise_scale), jnp.float32(length_scale),
+                          jnp.float32(noise_scale_w))
+        o = np.asarray(o)
+        y_lengths = np.asarray(y_lengths)
+        return [o[i, : y_lengths[i] * cfg.hop_size] for i in range(b)]

@@ -1,0 +1,379 @@
+"""VITS end-to-end synthesizer, TPU-native.
+
+Parity with `/root/reference/models/synthesizer/models/vits.py:389-527`
+(+ emotion conditioning at `vits.py:154,169`): TextEncoder (windowed
+relative-position transformer + 1024-d emotion projection) → prior (m_p,
+logs_p); PosteriorEncoder (WN) on linear spectrograms; ResidualCoupling flow;
+Stochastic or deterministic DurationPredictor; HiFi-GAN-style decoder with
+speaker conditioning; training alignment via the on-device monotonic-align
+scan (`ops/monotonic_align.py` — the reference round-trips through a Cython
+CPU kernel at `vits.py:479`).
+
+Layout: time-major (B, T, C) everywhere; masks (B, T, 1).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...config import Config
+from ...ops.monotonic_align import maximum_path
+from ..vocoder.hifigan import LRELU_SLOPE, ResBlock1, ResBlock2
+from .modules import (
+    DDSConv, ConvFlow, ElementwiseAffine, Flip, Log, ResidualCouplingLayer,
+    TransformerEncoder, WN, generate_path, rand_slice_segments, sequence_mask,
+)
+
+
+def vits_config() -> Config:
+    """Standard 16 kHz VITS dims (upstream configs; hop 256)."""
+    from ...text import symbols as _symbols
+    return Config(
+        n_vocab=len(_symbols),
+        spec_channels=513,           # filter_length // 2 + 1
+        segment_size=8192,           # samples; // hop = frames
+        inter_channels=192,
+        hidden_channels=192,
+        filter_channels=768,
+        n_heads=2,
+        n_layers=6,
+        kernel_size=3,
+        p_dropout=0.1,
+        resblock="1",
+        resblock_kernel_sizes=[3, 7, 11],
+        resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+        upsample_rates=[8, 8, 2, 2],
+        upsample_initial_channel=512,
+        upsample_kernel_sizes=[16, 16, 4, 4],
+        n_speakers=200,
+        gin_channels=256,
+        use_sdp=True,
+        use_emotion=True,
+        emotion_channels=1024,
+        hop_size=256,
+        sample_rate=16000,
+        n_fft=1024,
+        win_size=1024,
+        num_mels=80,
+        fmin=0.0,
+        fmax=None,
+    )
+
+
+class TextEncoder(nn.Module):
+    """(`vits.py:133-178`) tokens + emotion → hidden seq + prior stats."""
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x, x_lengths, emo=None, train: bool = False):
+        c = self.cfg
+        h = nn.Embed(c.n_vocab, c.hidden_channels,
+                     embedding_init=nn.initializers.normal(c.hidden_channels ** -0.5),
+                     name="emb")(x) * math.sqrt(c.hidden_channels)
+        if c.use_emotion and emo is not None:
+            h = h + nn.Dense(c.hidden_channels, name="emo_proj")(emo)[:, None, :]
+        x_mask = sequence_mask(x_lengths, x.shape[1])[..., None]
+        h = TransformerEncoder(c.hidden_channels, c.filter_channels, c.n_heads,
+                               c.n_layers, c.kernel_size, c.p_dropout,
+                               name="encoder")(h * x_mask, x_mask, train)
+        stats = nn.Conv(2 * c.inter_channels, (1,), name="proj")(h) * x_mask
+        m, logs = stats[..., : c.inter_channels], stats[..., c.inter_channels:]
+        return h, m, logs, x_mask
+
+
+class PosteriorEncoder(nn.Module):
+    """(`vits.py:213-242`) linear spec → posterior z."""
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, y, y_lengths, g=None, key=None, train: bool = False):
+        c = self.cfg
+        y_mask = sequence_mask(y_lengths, y.shape[1])[..., None]
+        h = nn.Conv(c.hidden_channels, (1,), name="pre")(y) * y_mask
+        h = WN(c.hidden_channels, 5, 1, 16, c.gin_channels, name="enc")(
+            h, y_mask, g=g, train=train)
+        stats = nn.Conv(2 * c.inter_channels, (1,), name="proj")(h) * y_mask
+        m, logs = stats[..., : c.inter_channels], stats[..., c.inter_channels:]
+        eps = jax.random.normal(key, m.shape) if key is not None else 0.0
+        z = (m + eps * jnp.exp(logs)) * y_mask
+        return z, m, logs, y_mask
+
+
+class ResidualCouplingBlock(nn.Module):
+    """4× (coupling + flip) (`vits.py:180-210`)."""
+    cfg: Any
+    n_flows: int = 4
+
+    def setup(self):
+        c = self.cfg
+        layers = []
+        for i in range(self.n_flows):
+            layers.append(ResidualCouplingLayer(
+                c.inter_channels, c.hidden_channels, 5, 1, 4,
+                gin_channels=c.gin_channels, mean_only=True, name=f"coupling_{i}"))
+            layers.append(Flip(name=f"flip_{i}"))
+        self.flows = layers
+
+    def __call__(self, x, x_mask, g=None, reverse=False, train: bool = False):
+        if not reverse:
+            for flow in self.flows:
+                if isinstance(flow, Flip):
+                    x, _ = flow(x, x_mask, reverse=False)
+                else:
+                    x, _ = flow(x, x_mask, g=g, reverse=False, train=train)
+            return x
+        for flow in reversed(self.flows):
+            if isinstance(flow, Flip):
+                x = flow(x, x_mask, reverse=True)
+            else:
+                x = flow(x, x_mask, g=g, reverse=True, train=train)
+        return x
+
+
+class VitsGenerator(nn.Module):
+    """HiFi-GAN decoder with gin conditioning (`vits.py:245-297`)."""
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x, g=None):
+        c = self.cfg
+        x = nn.Conv(c.upsample_initial_channel, (7,), padding="SAME", name="conv_pre")(x)
+        if g is not None:
+            x = x + nn.Conv(c.upsample_initial_channel, (1,), name="cond")(g)
+        res_cls = ResBlock1 if c.resblock == "1" else ResBlock2
+        num_kernels = len(c.resblock_kernel_sizes)
+        for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
+            ch = c.upsample_initial_channel // (2 ** (i + 1))
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            x = nn.WeightNorm(nn.ConvTranspose(ch, (k,), strides=(u,), padding="SAME"),
+                              name=f"ups_{i}")(x)
+            xs = None
+            for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
+                                             c.resblock_dilation_sizes)):
+                blk = res_cls(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")
+                xs = blk(x) if xs is None else xs + blk(x)
+            x = xs / num_kernels
+        x = nn.leaky_relu(x)
+        x = nn.Conv(1, (7,), padding="SAME", use_bias=False, name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]
+
+
+class DurationPredictor(nn.Module):
+    """Deterministic log-duration head (`vits.py:96-130`)."""
+    cfg: Any
+    filter_channels: int = 256
+
+    @nn.compact
+    def __call__(self, x, x_mask, g=None, train: bool = False):
+        c = self.cfg
+        x = jax.lax.stop_gradient(x)
+        if g is not None:
+            g = jax.lax.stop_gradient(g)
+            x = x + nn.Conv(c.hidden_channels, (1,), name="cond")(g)
+        x = nn.Conv(self.filter_channels, (c.kernel_size,), padding="SAME",
+                    name="conv_1")(x * x_mask)
+        x = nn.LayerNorm(name="norm_1")(nn.relu(x))
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Conv(self.filter_channels, (c.kernel_size,), padding="SAME",
+                    name="conv_2")(x * x_mask)
+        x = nn.LayerNorm(name="norm_2")(nn.relu(x))
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        return nn.Conv(1, (1,), name="proj")(x * x_mask) * x_mask
+
+
+class StochasticDurationPredictor(nn.Module):
+    """Flow-based duration model (`vits.py:15-94`)."""
+    cfg: Any
+    n_flows: int = 4
+
+    def setup(self):
+        c = self.cfg
+        fc = c.hidden_channels  # reference overrides filter_channels = in_channels
+        self.pre = nn.Conv(fc, (1,), name="pre")
+        self.proj = nn.Conv(fc, (1,), name="proj")
+        self.convs = DDSConv(fc, c.kernel_size, 3, 0.5, name="convs")
+        if c.gin_channels:
+            self.cond = nn.Conv(fc, (1,), name="cond")
+
+        self.log_flow = Log()
+        flows = [ElementwiseAffine(2, name="flow_affine")]
+        for i in range(self.n_flows):
+            flows.append(ConvFlow(2, fc, c.kernel_size, 3, name=f"flow_conv_{i}"))
+            flows.append(Flip(name=f"flow_flip_{i}"))
+        self.flows = flows
+
+        self.post_pre = nn.Conv(fc, (1,), name="post_pre")
+        self.post_proj = nn.Conv(fc, (1,), name="post_proj")
+        self.post_convs = DDSConv(fc, c.kernel_size, 3, 0.5, name="post_convs")
+        post_flows = [ElementwiseAffine(2, name="post_affine")]
+        for i in range(4):
+            post_flows.append(ConvFlow(2, fc, c.kernel_size, 3, name=f"post_conv_{i}"))
+            post_flows.append(Flip(name=f"post_flip_{i}"))
+        self.post_flows = post_flows
+
+    def _run_flow(self, flow, z, x_mask, g, reverse, train):
+        if isinstance(flow, Flip):
+            return flow(z, x_mask, reverse=reverse)
+        return flow(z, x_mask, g=g, reverse=reverse, train=train)
+
+    def __call__(self, x, x_mask, w=None, g=None, reverse=False,
+                 noise_scale=1.0, key=None, train: bool = False):
+        x = jax.lax.stop_gradient(x)
+        x = self.pre(x)
+        if g is not None:
+            x = x + self.cond(jax.lax.stop_gradient(g))
+        x = self.convs(x, x_mask, train=train)
+        x = self.proj(x) * x_mask
+
+        if not reverse:
+            assert w is not None and key is not None
+            k1, k2 = jax.random.split(key)
+            h_w = self.post_pre(w)
+            h_w = self.post_convs(h_w, x_mask, train=train)
+            h_w = self.post_proj(h_w) * x_mask
+            e_q = jax.random.normal(k1, (w.shape[0], w.shape[1], 2)) * x_mask
+            z_q = e_q
+            logdet_tot_q = 0.0
+            for flow in self.post_flows:
+                z_q, logdet_q = self._run_flow(flow, z_q, x_mask, x + h_w, False, train)
+                logdet_tot_q = logdet_tot_q + logdet_q
+            z_u, z1 = z_q[..., :1], z_q[..., 1:]
+            u = jax.nn.sigmoid(z_u) * x_mask
+            z0 = (w - u) * x_mask
+            logdet_tot_q = logdet_tot_q + jnp.sum(
+                (jax.nn.log_sigmoid(z_u) + jax.nn.log_sigmoid(-z_u)) * x_mask, axis=(1, 2))
+            logq = jnp.sum(-0.5 * (math.log(2 * math.pi) + e_q ** 2) * x_mask,
+                           axis=(1, 2)) - logdet_tot_q
+
+            z0, logdet = self.log_flow(z0, x_mask)
+            logdet_tot = logdet
+            z = jnp.concatenate([z0, z1], axis=-1)
+            for flow in self.flows:
+                z, logdet = self._run_flow(flow, z, x_mask, x, False, train)
+                logdet_tot = logdet_tot + logdet
+            nll = jnp.sum(0.5 * (math.log(2 * math.pi) + z ** 2) * x_mask,
+                          axis=(1, 2)) - logdet_tot
+            return nll + logq  # (B,)
+
+        flows = list(reversed(self.flows))
+        flows = flows[:-2] + [flows[-1]]  # drop the unused extra flow (`vits.py:89`)
+        z = jax.random.normal(key, (x.shape[0], x.shape[1], 2)) * noise_scale
+        for flow in flows:
+            z = self._run_flow(flow, z, x_mask, x, True, train)
+        return z[..., :1]  # logw
+
+
+class Vits(nn.Module):
+    """Full model (`vits.py:389-527`)."""
+    cfg: Any
+
+    def setup(self):
+        c = self.cfg
+        self.enc_p = TextEncoder(c, name="enc_p")
+        self.dec = VitsGenerator(c, name="dec")
+        self.enc_q = PosteriorEncoder(c, name="enc_q")
+        self.flow = ResidualCouplingBlock(c, name="flow")
+        if c.use_sdp:
+            self.dp = StochasticDurationPredictor(c, name="dp")
+        else:
+            self.dp = DurationPredictor(c, name="dp")
+        if c.n_speakers > 1:
+            self.emb_g = nn.Embed(c.n_speakers, c.gin_channels, name="emb_g")
+
+    def _speaker(self, sid):
+        if self.cfg.n_speakers > 1 and sid is not None:
+            return self.emb_g(sid)[:, None, :]  # (B, 1, gin)
+        return None
+
+    def __call__(self, x, x_lengths, y, y_lengths, sid=None, emo=None,
+                 key=None, train: bool = True):
+        """Training forward. x (B,Tx) int32; y (B,Ty,spec) linear spec."""
+        c = self.cfg
+        k_post, k_dur, k_slice = jax.random.split(key, 3)
+        hx, m_p, logs_p, x_mask = self.enc_p(x, x_lengths, emo, train)
+        g = self._speaker(sid)
+
+        z, m_q, logs_q, y_mask = self.enc_q(y, y_lengths, g=g, key=k_post, train=train)
+        z_p = self.flow(z, y_mask, g=g, train=train)
+
+        # negative cross-entropy alignment scores (`vits.py:469-479`)
+        sg = jax.lax.stop_gradient
+        zp, mp, lp = sg(z_p), sg(m_p), sg(logs_p)
+        s_p_sq_r = jnp.exp(-2 * lp)                                  # (B,Tx,D)
+        neg_cent1 = jnp.sum(-0.5 * math.log(2 * math.pi) - lp, axis=2)[:, None, :]
+        neg_cent2 = jnp.einsum("byd,bxd->byx", -0.5 * zp ** 2, s_p_sq_r)
+        neg_cent3 = jnp.einsum("byd,bxd->byx", zp, mp * s_p_sq_r)
+        neg_cent4 = jnp.sum(-0.5 * mp ** 2 * s_p_sq_r, axis=2)[:, None, :]
+        neg_cent = neg_cent1 + neg_cent2 + neg_cent3 + neg_cent4     # (B,Ty,Tx)
+        attn_mask = y_mask * jnp.swapaxes(x_mask, 1, 2)              # (B,Ty,Tx)
+        attn = sg(maximum_path(neg_cent, attn_mask))                 # (B,Ty,Tx)
+
+        w = jnp.sum(attn, axis=1)[..., None]                         # (B,Tx,1)
+        if c.use_sdp:
+            l_length = self.dp(hx, x_mask, w, g=g, key=k_dur, train=train)
+            l_length = l_length / jnp.sum(x_mask)
+        else:
+            logw_ = jnp.log(w + 1e-6) * x_mask
+            logw = self.dp(hx, x_mask, g=g, train=train)
+            l_length = jnp.sum((logw - logw_) ** 2, axis=(1, 2)) / jnp.sum(x_mask)
+
+        # expand prior to frame rate
+        m_p = jnp.einsum("byx,bxd->byd", attn, m_p)
+        logs_p = jnp.einsum("byx,bxd->byd", attn, logs_p)
+
+        seg_frames = c.segment_size // c.hop_size
+        z_slice, ids_slice = rand_slice_segments(k_slice, z, y_lengths, seg_frames)
+        o = self.dec(z_slice, g=g)
+        return o, l_length, attn, ids_slice, x_mask, y_mask, \
+            (z, z_p, m_p, logs_p, m_q, logs_q)
+
+    def infer(self, x, x_lengths, sid=None, emo=None, noise_scale=1.0,
+              length_scale=1.0, noise_scale_w=1.0, max_len=None, key=None):
+        c = self.cfg
+        k_dur, k_z = jax.random.split(key)
+        hx, m_p, logs_p, x_mask = self.enc_p(x, x_lengths, emo, False)
+        g = self._speaker(sid)
+
+        if c.use_sdp:
+            logw = self.dp(hx, x_mask, g=g, reverse=True,
+                           noise_scale=noise_scale_w, key=k_dur)
+        else:
+            logw = self.dp(hx, x_mask, g=g)
+        w = jnp.exp(logw) * x_mask * length_scale
+        w_ceil = jnp.ceil(w)
+
+        # static output length: the caller supplies max_len (static shapes on TPU)
+        t_y = max_len if max_len is not None else x.shape[1] * 20
+        y_lengths = jnp.clip(jnp.sum(w_ceil, axis=(1, 2)), 1, t_y).astype(jnp.int32)
+        y_mask = sequence_mask(y_lengths, t_y)[..., None]
+        attn_mask = y_mask * jnp.swapaxes(x_mask, 1, 2)
+        attn = generate_path(jnp.swapaxes(w_ceil, 1, 2),
+                             attn_mask[:, None, :, :])[:, 0]          # (B,Ty,Tx)
+
+        m_p = jnp.einsum("byx,bxd->byd", attn, m_p)
+        logs_p = jnp.einsum("byx,bxd->byd", attn, logs_p)
+        z_p = m_p + jax.random.normal(k_z, m_p.shape) * jnp.exp(logs_p) * noise_scale
+        z = self.flow(z_p, y_mask, g=g, reverse=True)
+        o = self.dec(z * y_mask, g=g)
+        return o, attn, y_mask, y_lengths
+
+
+def init_vits(key, cfg=None, t_x: int = 12, t_y: int = 24):
+    cfg = cfg or vits_config()
+    if isinstance(cfg, Config):
+        cfg = cfg.freeze()
+    model = Vits(cfg)
+    x = jnp.ones((1, t_x), jnp.int32)
+    x_lengths = jnp.asarray([t_x], jnp.int32)
+    y = jnp.zeros((1, t_y, cfg.spec_channels))
+    y_lengths = jnp.asarray([t_y], jnp.int32)
+    sid = jnp.zeros((1,), jnp.int32)
+    emo = jnp.zeros((1, cfg.emotion_channels))
+    k1, k2, k3 = jax.random.split(key, 3)
+    variables = model.init({"params": k1, "dropout": k2}, x, x_lengths, y, y_lengths,
+                           sid, emo, key=k3, train=False)
+    return model, variables

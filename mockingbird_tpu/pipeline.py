@@ -1,0 +1,91 @@
+"""End-to-end voice-cloning pipeline facade.
+
+Replaces the reference's module-singleton pattern (`models/encoder/
+inference.py:11-12` globals + toolbox wiring) with one explicit object:
+encoder → synthesizer (Tacotron or VITS) → vocoder, plus the PPG
+voice-conversion path. This is the programmatic surface the CLI, the HTTP
+server and the benchmarks all drive.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import List, Optional, Union
+
+import numpy as np
+
+from .config import encoder_audio_config, sv2tts_audio_config
+from .dsp import load_wav, save_wav
+from .models.encoder import SpeakerEncoderInference
+from .models.tacotron import Synthesizer
+from .models.vocoder import load_vocoder
+
+
+class VoiceCloningPipeline:
+    """Few-seconds reference audio → cloned-voice TTS."""
+
+    def __init__(self,
+                 encoder_fpath: Optional[Union[str, Path]] = None,
+                 synthesizer_fpath: Optional[Union[str, Path]] = None,
+                 vocoder_fpath: Optional[Union[str, Path]] = None,
+                 synthesizer: str = "tacotron",
+                 verbose: bool = True, seed: int = 0):
+        self.encoder = (SpeakerEncoderInference.from_checkpoint(encoder_fpath)
+                        if encoder_fpath and Path(encoder_fpath).exists()
+                        else SpeakerEncoderInference(seed=seed))
+        self.synthesizer_kind = synthesizer
+        if synthesizer == "vits":
+            from .models.vits import VitsSynthesizer
+            self.synthesizer = VitsSynthesizer(synthesizer_fpath, verbose=verbose, seed=seed)
+        else:
+            self.synthesizer = Synthesizer(synthesizer_fpath, verbose=verbose, seed=seed)
+        self.vocoder = load_vocoder(vocoder_fpath, verbose=verbose)
+        self.audio_cfg = sv2tts_audio_config()
+        self._embed_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    def embed_reference(self, ref_wav: Union[str, Path, np.ndarray],
+                        source_sr: Optional[int] = None) -> np.ndarray:
+        key = str(ref_wav) if isinstance(ref_wav, (str, Path)) else None
+        if key and key in self._embed_cache:
+            return self._embed_cache[key]
+        wav = self.encoder.preprocess_wav(ref_wav, source_sr)
+        embed = self.encoder.embed_utterance(wav)
+        if key:
+            self._embed_cache[key] = embed
+        return embed
+
+    def clone_voice(self, texts: Union[str, List[str]],
+                    ref_wav: Union[str, Path, np.ndarray],
+                    style_idx: int = 0, min_stop_token: int = 5,
+                    steps: int = 1000, use_griffin_lim: bool = False,
+                    source_sr: Optional[int] = None) -> List[np.ndarray]:
+        """texts + reference audio → waveforms (`gen_voice.py:52-97` flow)."""
+        if isinstance(texts, str):
+            texts = [texts]
+        embed = self.embed_reference(ref_wav, source_sr)
+
+        if self.synthesizer_kind == "vits":
+            return self.synthesizer.synthesize(texts)
+
+        embeds = np.tile(embed, (len(texts), 1))
+        specs = self.synthesizer.synthesize_spectrograms(
+            texts, embeds, style_idx=style_idx, min_stop_token=min_stop_token,
+            steps=steps)
+        if use_griffin_lim:
+            return [self.synthesizer.griffin_lim(s) for s in specs]
+        return [self.vocoder.infer_waveform(s) for s in specs]
+
+    def tts_to_file(self, text: str, ref_wav: Union[str, Path], out_path: Union[str, Path],
+                    **kwargs) -> float:
+        t0 = time.time()
+        wav = self.clone_voice(text, ref_wav, **kwargs)[0]
+        dt = time.time() - t0
+        save_wav(wav, out_path, self.audio_cfg.sample_rate)
+        return len(wav) / self.audio_cfg.sample_rate / dt  # RTF
+
+
+def make_voice_converter(ppg2mel_fpath=None, verbose: bool = True):
+    """PPG one-shot VC pipeline (`run.py:30-94` flow)."""
+    from .models.ppg import VoiceConverter
+    return VoiceConverter(ppg2mel_fpath, verbose=verbose)

@@ -122,3 +122,13 @@ def test_gst_token_styles():
     b = syn.synthesize_spectrograms(["ni3 hao3"], emb, steps=20, r=2, style_idx=1)[0]
     n = min(a.shape[1], b.shape[1])
     assert not np.allclose(a[:, :n], b[:, :n])
+
+
+def test_symbol_ids_fit_embedding():
+    from mockingbird_tpu.text import text_to_sequence, symbols
+    from mockingbird_tpu.models.tacotron import tacotron_config
+    cfg = tacotron_config()
+    assert cfg.num_chars == len(symbols)
+    s = "ni3 hao3 SHI4 jie4! (testing) 0123456789 .,:;?'-"
+    ids = text_to_sequence(s, ("english_cleaners",)) + text_to_sequence(s)
+    assert max(ids) < cfg.num_chars
