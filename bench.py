@@ -36,7 +36,7 @@ def main():
 
     texts = ["ni3 hao3 shi4 jie4 zhe4 shi4 yi2 ge4 ce4 shi4 ju4 zi3"] * 4
     embeds = np.tile(embed, (len(texts), 1))
-    steps = 500  # fixed AR workload; stop disabled below for determinism
+    steps = 400  # fixed AR workload; stop disabled below for determinism
 
     def run():
         specs = syn.synthesize_spectrograms(texts, embeds, steps=steps,

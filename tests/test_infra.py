@@ -1,0 +1,166 @@
+"""Infrastructure tests: native kernel, Pallas kernel (interpret), f0-free
+utilities, text helpers, config round-trips, logging/profiler, CLI parser,
+HTTP server endpoints, and multi-device SPMD training on the virtual mesh."""
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_native_monotonic_align():
+    from mockingbird_tpu.ops.monotonic_align import maximum_path_numpy
+    from mockingbird_tpu.ops.monotonic_align_native import available, maximum_path_native
+    if not available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(0)
+    neg = rng.randn(4, 50, 20).astype(np.float32)
+    t_ys = np.array([50, 40, 30, 25], np.int32)
+    t_xs = np.array([20, 15, 10, 5], np.int32)
+    out = maximum_path_native(neg, t_ys, t_xs)
+    np.testing.assert_array_equal(out, maximum_path_numpy(neg, t_ys, t_xs))
+
+
+def test_pallas_monotonic_align_interpret():
+    from mockingbird_tpu.ops.monotonic_align import maximum_path_numpy
+    from mockingbird_tpu.ops.monotonic_align_pallas import maximum_path_pallas
+    rng = np.random.RandomState(1)
+    neg = rng.randn(2, 30, 14).astype(np.float32)
+    t_ys = np.array([30, 22]); t_xs = np.array([14, 9])
+    out = np.asarray(maximum_path_pallas(jnp.asarray(neg), t_ys, t_xs, interpret=True))
+    np.testing.assert_array_equal(out, maximum_path_numpy(neg, t_ys, t_xs))
+
+
+def test_mandarin_numbers():
+    from mockingbird_tpu.text.mandarin_numbers import (
+        digits_to_pinyin, normalize_numbers_mandarin, number_to_pinyin)
+    assert number_to_pinyin(0) == "ling2"
+    assert number_to_pinyin(15) == "shi2 wu3"
+    assert number_to_pinyin(105) == "yi1 bai3 ling2 wu3"
+    assert number_to_pinyin(23456) == "er4 wan4 san1 qian1 si4 bai3 wu3 shi2 liu4"
+    assert digits_to_pinyin("2024") == "er4 ling2 er4 si4"
+    out = normalize_numbers_mandarin("wo3 you3 3 ge4")
+    assert "san1" in out and "3" not in out
+
+
+def test_long_text_split():
+    from mockingbird_tpu.text.long_text import split_text, synthesize_long_text
+    text = "ju4 zi3 yi1. ju4 zi3 er4! ju4 zi3 san1? " * 10
+    chunks = split_text(text, max_chars=40)
+    assert all(len(c) <= 40 for c in chunks)
+    assert sum(len(c.split()) for c in chunks) >= 80
+
+    calls = []
+    def fake_synth(texts):
+        calls.append(texts)
+        return [np.ones(100, np.float32) for _ in texts]
+    wav = synthesize_long_text("a. b. c.", fake_synth, break_seconds=0.01)
+    n_chunks = len(calls[0])
+    assert len(wav) == n_chunks * 100 + (n_chunks - 1) * 160
+
+
+def test_value_window_and_table(capsys):
+    from mockingbird_tpu.train.logging import ValueWindow, simple_table
+    w = ValueWindow(3)
+    for v in [1, 2, 3, 4]:
+        w.append(v)
+    assert w.average == 3.0  # last 3 of [1,2,3,4]
+    simple_table([("a", 1), ("bb", "cc")])
+    assert "a" in capsys.readouterr().out
+
+
+def test_profiler_and_rtf():
+    from mockingbird_tpu.train.profiler import Profiler, RTFMeter, Timer
+    p = Profiler(summarize_every=100)
+    p.tick("x", jnp.ones(()))
+    t = Timer(); t.cnt("fw")
+    assert "fw" in t.show()
+    m = RTFMeter()
+    with m.measure():
+        pass
+    m.add_audio(16000)
+    assert m.rtf > 0
+
+
+def test_visualizations(tmp_path):
+    from mockingbird_tpu.train.visualizations import (
+        draw_projections, plot_spectrogram, project_embeddings)
+    rng = np.random.RandomState(0)
+    e = rng.randn(20, 16).astype(np.float32)
+    proj = project_embeddings(e)
+    assert proj.shape == (20, 2)
+    draw_projections(e, 4, 100, tmp_path / "proj.png")
+    assert (tmp_path / "proj.png").exists()
+    plot_spectrogram(rng.randn(80, 100), tmp_path / "mel.png")
+    assert (tmp_path / "mel.png").exists()
+
+
+def test_cli_parser():
+    from mockingbird_tpu.cli.main import build_parser
+    p = build_parser()
+    args = p.parse_args(["tts", "hello", "--ref", "r.wav", "--out", "o.wav"])
+    assert args.command == "tts" and args.text == "hello"
+    args = p.parse_args(["train-vocoder", "syn", "run1", "--arch", "fregan"])
+    assert args.arch == "fregan"
+    args = p.parse_args(["preprocess", "/data", "-d", "aishell3"])
+    assert args.dataset == "aishell3"
+
+
+def test_http_server_health_and_jobs():
+    from mockingbird_tpu.serve.http import serve
+    server = serve(port=18731, block=False)
+    try:
+        with urllib.request.urlopen("http://127.0.0.1:18731/api/health") as r:
+            assert json.loads(r.read())["status"] == "ok"
+        with urllib.request.urlopen("http://127.0.0.1:18731/") as r:
+            assert b"mockingbird" in r.read()
+        with urllib.request.urlopen("http://127.0.0.1:18731/api/jobs") as r:
+            assert json.loads(r.read()) == {}
+    finally:
+        server.shutdown()
+
+
+def test_spmd_data_parallel_training_8dev():
+    """GE2E train step over the 8-device virtual mesh: batch sharded over
+    'data', loss/grads match the single-device result."""
+    import optax
+    from mockingbird_tpu.models.encoder.model import SpeakerEncoder
+    from mockingbird_tpu.models.encoder.train import make_train_step
+    from mockingbird_tpu.parallel.mesh import make_mesh, shard_batch
+
+    assert len(jax.devices()) == 8, jax.devices()
+    model = SpeakerEncoder(hidden_size=16, embedding_size=16)
+    params = {
+        "model": model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 40)))["params"],
+        "similarity": {"weight": jnp.array([10.0]), "bias": jnp.array([-5.0])},
+    }
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, 8, 3)
+
+    batch = jnp.asarray(np.random.RandomState(0).randn(8, 3, 20, 40), jnp.float32)
+    p1, _, loss_single, _ = step(params, opt_state, batch)
+
+    mesh = make_mesh()
+    assert mesh.shape["data"] * mesh.shape["model"] == 8
+    sharded = shard_batch(mesh, batch)
+    assert len(sharded.sharding.device_set) == mesh.shape["data"]
+    p2, _, loss_sharded, _ = step(params, opt_state, sharded)
+    np.testing.assert_allclose(float(loss_single), float(loss_sharded), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    """The driver's multichip dryrun must work on the 8-device CPU mesh."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)
+    __graft_entry__.dryrun_multichip(8)
