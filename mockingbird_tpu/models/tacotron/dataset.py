@@ -23,7 +23,8 @@ MEL_BUCKET = 100
 
 class SynthesizerDataset:
     def __init__(self, metadata_fpath: Path, mel_dir: Path, embed_dir: Path,
-                 cleaner_names: List[str] = ("basic_cleaners",)):
+                 cleaner_names: List[str] = ("basic_cleaners",), num_mels: int = 80):
+        self.num_mels = num_mels
         metadata_fpath, mel_dir, embed_dir = Path(metadata_fpath), Path(mel_dir), Path(embed_dir)
         with metadata_fpath.open("r", encoding="utf-8") as f:
             metadata = [line.strip().split("|") for line in f if line.strip()]
@@ -43,8 +44,9 @@ class SynthesizerDataset:
     def __getitem__(self, index):
         text = np.asarray(text_to_sequence(self.texts[index], self.cleaner_names), np.int32)
         mel = np.load(self.mel_fpaths[index]).astype(np.float32)
-        if mel.shape[0] < mel.shape[1]:  # stored bin-major (M, T) → time-major
-            mel = mel.T
+        if mel.shape[0] == self.num_mels and mel.shape[1] != self.num_mels:
+            mel = mel.T  # stored bin-major (M, T) → time-major
+        assert mel.shape[1] == self.num_mels, mel.shape
         embed = np.load(self.embed_fpaths[index]).astype(np.float32)
         return text, mel, embed, index
 

@@ -181,9 +181,11 @@ def run_gta_synthesis(run_id: str, syn_dir: Path, models_dir: Path, r: int = 2,
     cfg = cfg or tacotron_config()
     model, variables = init_tacotron(jax.random.PRNGKey(seed), cfg)
     ckpt = CheckpointManager(Path(models_dir) / run_id / "ckpt")
+    # opt_state template must match the trainer's optimizer structure
+    tx_tpl = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
     step0, restored = ckpt.restore_latest(
         {"params": variables["params"], "batch_stats": variables["batch_stats"],
-         "opt_state": None})
+         "opt_state": tx_tpl.init(variables["params"])})
     if step0 is not None:
         variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
         print(f"GTA with checkpoint step {step0}")

@@ -77,8 +77,8 @@ class MelDataset:
 
         mel_dir = self.syn_dir / "mels_gta"
         mel = np.load(mel_dir / mel_fname).astype(np.float32)
-        if mel.shape[0] < mel.shape[1]:
-            mel = mel.T  # (T, M)
+        if mel.shape[0] == self.cfg.num_mels and mel.shape[1] != self.cfg.num_mels:
+            mel = mel.T  # (M, T) → (T, M)
         if self.split:
             fps = self.frames_per_seg
             if mel.shape[0] >= fps:

@@ -1,0 +1,127 @@
+"""End-to-end pipeline integration test on a tiny synthetic corpus:
+preprocess → embeddings → Tacotron training → GTA → vocoder dataset →
+TTS through the Pipeline facade. Small configs, CPU, a few minutes."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mockingbird_tpu.config import Config, sv2tts_audio_config
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """A fake aidatatang-style corpus: 2 speakers × 3 utterances of
+    harmonic 'speech' + a transcript file."""
+    root = tmp_path_factory.mktemp("corpus")
+    ds = root / "aidatatang_200zh"
+    trans_dir = ds / "transcript"
+    trans_dir.mkdir(parents=True)
+    lines = []
+    rng = np.random.RandomState(0)
+    from scipy.io import wavfile
+    sr = 16000
+    for spk in ("G0001", "G0002"):
+        spk_dir = ds / "corpus" / "train" / spk
+        spk_dir.mkdir(parents=True)
+        f_base = 150 if spk == "G0001" else 250
+        for i in range(3):
+            utt = f"T0055{spk}S{i:04d}"
+            t = np.arange(int(sr * 1.2)) / sr
+            f0 = f_base * (1 + 0.05 * np.sin(2 * np.pi * 3 * t + i))
+            wav = 0.3 * np.sin(2 * np.pi * f0 * t)
+            wav += 0.1 * np.sin(2 * np.pi * 2 * f0 * t)
+            wav += 0.01 * rng.randn(len(t))
+            wavfile.write(spk_dir / f"{utt}.wav", sr, (wav * 32767).astype(np.int16))
+            lines.append(f"{utt} ni3 hao3 shi4 jie4 {i}")
+    (trans_dir / "aidatatang_200_zh_transcript.txt").write_text("\n".join(lines))
+    return root
+
+
+@pytest.fixture(scope="module")
+def syn_dir(corpus, tmp_path_factory):
+    from mockingbird_tpu.models.tacotron.preprocess import (create_embeddings,
+                                                            preprocess_dataset)
+    out = tmp_path_factory.mktemp("syn")
+    audio_cfg = sv2tts_audio_config().merge(dict(utterance_min_duration=0.3))
+    preprocess_dataset(corpus, out, n_processes=2, dataset="aidatatang_200zh",
+                       audio_cfg=audio_cfg)
+    train_txt = (out / "train.txt").read_text().strip().splitlines()
+    assert len(train_txt) == 6, train_txt
+    create_embeddings(out, None, n_processes=2)
+    assert len(list((out / "embeds").glob("*.npy"))) == 6
+    return out
+
+
+def test_preprocess_outputs(syn_dir):
+    mels = sorted((syn_dir / "mels").glob("*.npy"))
+    assert len(mels) == 6
+    m = np.load(mels[0])
+    assert m.shape[0] == 80  # stored (M, T) like the reference
+    assert -4.01 <= m.min() and m.max() <= 4.01
+    line = (syn_dir / "train.txt").read_text().splitlines()[0].split("|")
+    assert len(line) == 6 and "ni3" in line[5]
+
+
+def test_tacotron_train_and_gta(syn_dir, tmp_path):
+    from mockingbird_tpu.models.tacotron import tacotron_config
+    from mockingbird_tpu.models.tacotron.train import run_gta_synthesis, train
+
+    cfg = tacotron_config().merge(dict(
+        embed_dims=32, encoder_dims=16, decoder_dims=16, postnet_dims=32,
+        lstm_dims=32, gst_E=16, gst_num_heads=4, gst_ref_filters=(4, 4)))
+    schedule = ((2, 1e-3, 4, 2),)
+    train("e2e_run", syn_dir, tmp_path, schedule=schedule, save_every=0,
+          eval_every=0, total_steps=3, use_mesh=False, cfg=cfg)
+    # resume from checkpoint + GTA
+    run_gta_synthesis("e2e_run", syn_dir, tmp_path, r=2, batch_size=2, cfg=cfg)
+    gta = sorted((syn_dir / "mels_gta").glob("*.npy"))
+    assert len(gta) == 6
+    ref_mel = np.load(sorted((syn_dir / "mels").glob("*.npy"))[0])
+    gta_mel = np.load(gta[0])
+    assert gta_mel.shape[0] == 80
+    # GTA length matches (padded-to-r) ground truth length
+    assert abs(gta_mel.shape[1] - ref_mel.shape[1]) <= 2
+
+
+def test_pipeline_tts_with_fresh_weights(syn_dir, tmp_path):
+    """Full user flow via the facade: reference wav → cloned (untrained) TTS."""
+    from mockingbird_tpu.pipeline import VoiceCloningPipeline
+    from mockingbird_tpu.models.tacotron.inference import Synthesizer
+    from mockingbird_tpu.models.vocoder import GanVocoder
+    from mockingbird_tpu.models.tacotron import tacotron_config
+    from mockingbird_tpu.config import Config
+    from mockingbird_tpu.models.vocoder import hifigan_config
+
+    pipe = VoiceCloningPipeline(verbose=False)
+    # shrink models for test speed
+    pipe.synthesizer = Synthesizer(cfg=tacotron_config().merge(dict(
+        embed_dims=32, encoder_dims=16, decoder_dims=16, postnet_dims=32,
+        lstm_dims=32, gst_E=16, gst_num_heads=4, gst_ref_filters=(4, 4))),
+        verbose=False)
+    pipe.vocoder = GanVocoder("hifigan", cfg=Config(hifigan_config()).merge(dict(
+        upsample_initial_channel=32, resblock_kernel_sizes=[3],
+        resblock_dilation_sizes=[[1, 3]])), verbose=False)
+
+    wav_files = sorted((syn_dir / "audio").glob("*.npy"))
+    ref = np.load(wav_files[0])
+    out = pipe.clone_voice("ni3 hao3", ref, steps=40)
+    assert len(out) == 1
+    assert np.isfinite(out[0]).all()
+    assert len(out[0]) > 0
+
+
+def test_vocoder_dataset_from_gta(syn_dir):
+    from mockingbird_tpu.models.vocoder.wavernn_train import (WaveRnnDataset,
+                                                              collate_wavernn)
+    from mockingbird_tpu.models.vocoder import wavernn_config
+    cfg = Config(wavernn_config()).merge(dict(seq_len=256 * 2))
+    ds = WaveRnnDataset(syn_dir / "train.txt", syn_dir / "mels_gta",
+                        syn_dir / "audio", cfg)
+    assert len(ds) == 6
+    batch = collate_wavernn([ds[0], ds[1]], cfg)
+    assert batch["x"].shape == (2, 512)
+    assert batch["mels"].shape[2] == 80
+    assert batch["y"].shape == (2, 512)
+    assert batch["y"].max() < 512  # 9-bit classes
