@@ -34,14 +34,14 @@ def main():
     syn.load()
     voc = GanVocoder("hifigan", verbose=False)
 
-    texts = ["ni3 hao3 shi4 jie4 zhe4 shi4 yi2 ge4 ce4 shi4 ju4 zi3"] * 4
+    texts = ["ni3 hao3 shi4 jie4 zhe4 shi4 yi2 ge4 ce4 shi4 ju4 zi3"] * 8
     embeds = np.tile(embed, (len(texts), 1))
     steps = 400  # fixed AR workload; stop disabled below for determinism
 
     def run():
         specs = syn.synthesize_spectrograms(texts, embeds, steps=steps,
                                             min_stop_token=11)  # never stops early
-        wavs = [voc.infer_waveform(s) for s in specs]
+        wavs = voc.infer_waveform_batch(specs)
         return specs, wavs
 
     # warm-up (compile both stages)

@@ -19,6 +19,7 @@ import optax
 
 from ...parallel.mesh import make_mesh, shard_batch
 from ...train.checkpoint import CheckpointManager
+from ...train.logging import TrainLogger
 from .dataset import SpeakerBatchSampler, SpeakerVerificationDataset
 from .model import SpeakerEncoder, equal_error_rate, ge2e_loss, init_params
 
@@ -69,6 +70,7 @@ def train(run_id: str, clean_data_root: Path, models_dir: Path,
 
     model_dir = Path(models_dir) / run_id
     ckpt = CheckpointManager(model_dir / "ckpt", backup_every=backup_every)
+    tb = TrainLogger(model_dir / "logs")
     init_step = 1
     if not force_restart:
         step0, restored = ckpt.restore_latest({"params": params, "opt_state": opt_state})
@@ -90,6 +92,9 @@ def train(run_id: str, clean_data_root: Path, models_dir: Path,
             dt = (time.time() - t0) / log_every
             print(f"step {step} | loss {sum(losses)/len(losses):.4f} | "
                   f"EER {sum(eers)/len(eers):.4f} | {dt*1000:.0f} ms/step")
+            tb.scalars(step, **{"train/loss": sum(losses) / len(losses),
+                                "train/eer": sum(eers) / len(eers),
+                                "train/ms_per_step": dt * 1000})
             t0, losses, eers = time.time(), [], []
         if save_every and step % save_every == 0:
             ckpt.save(step, {"params": params, "opt_state": opt_state})

@@ -21,6 +21,7 @@ import optax
 from ...config import Config
 from ...parallel.mesh import make_mesh, shard_batch
 from ...train.checkpoint import CheckpointManager
+from ...train.logging import TrainLogger
 from ..tacotron.dataset import DataLoader
 from .ppg2mel import MelDecoderMOLv2, init_ppg2mel, ppg2mel_config
 
@@ -127,6 +128,7 @@ def train(run_id: str, vc_dir: Path, models_dir: Path, cfg=None,
     opt_state = tx.init(params)
 
     ckpt = CheckpointManager(Path(models_dir) / run_id / "ckpt_ppg2mel")
+    tb = TrainLogger(Path(models_dir) / run_id / "logs_ppg2mel")
     step0, restored = ckpt.restore_latest(
         {"params": params, "batch_stats": batch_stats, "opt_state": opt_state})
     step = 1
@@ -156,6 +158,8 @@ def train(run_id: str, vc_dir: Path, models_dir: Path, cfg=None,
                 l, m = np.mean(acc, axis=0)
                 dt = (time.time() - t0) / len(acc)
                 print(f"step {step} | loss {l:.4f} | mel {m:.4f} | {dt*1000:.0f} ms/step")
+                tb.scalars(step, **{"train/loss": l, "train/mel": m,
+                                    "train/ms_per_step": dt * 1000})
                 t0, acc = time.time(), []
             if save_every and step % save_every == 0:
                 ckpt.save(step, {"params": params, "batch_stats": batch_stats,

@@ -23,6 +23,7 @@ import optax
 from ...config import Config, sv2tts_audio_config
 from ...parallel.mesh import make_mesh, shard_batch
 from ...train.checkpoint import CheckpointManager
+from ...train.logging import TrainLogger
 from .dataset import DataLoader, SynthesizerDataset, collate_synthesizer
 from .model import Tacotron, init_tacotron, tacotron_config
 
@@ -46,6 +47,22 @@ def tacotron_loss(out, batch):
     s = jnp.clip(stop_out, eps, 1 - eps)
     stop_l = -jnp.mean(stop_t * jnp.log(s) + (1 - stop_t) * jnp.log(1 - s))
     return m1 + m2 + stop_l, dict(m1=m1, m2=m2, stop=stop_l)
+
+
+def finetune_mask(params, layers):
+    """Trainable-parameter mask for partial finetuning (reference
+    `models/base.py:71-77` `finetune_partial`; layer names follow
+    `hparams.py:50` tts_finetune_layers: encoder, encoder_proj, gst,
+    decoder, postnet, post_proj). Empty ``layers`` → train everything."""
+    if not layers:
+        return jax.tree.map(lambda _: True, params)
+    layers = set(layers)
+
+    def mask_path(path, _):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        return top in layers
+
+    return jax.tree_util.tree_map_with_path(mask_path, params)
 
 
 def make_train_step(model: Tacotron, tx, r: int):
@@ -76,7 +93,7 @@ def train(run_id: str, syn_dir: Path, models_dir: Path,
           backup_every: int = 25_000, log_every: int = 10,
           eval_every: int = 500, force_restart: bool = False,
           total_steps: Optional[int] = None, use_mesh: bool = True,
-          cfg=None, audio_cfg=None, seed: int = 0):
+          cfg=None, audio_cfg=None, seed: int = 0, finetune_layers=()):
     syn_dir = Path(syn_dir)
     cfg = cfg or tacotron_config()
     audio_cfg = audio_cfg or sv2tts_audio_config()
@@ -89,6 +106,7 @@ def train(run_id: str, syn_dir: Path, models_dir: Path,
     model_dir.mkdir(parents=True, exist_ok=True)
     Config(cfg).to_json(model_dir / "config.json")  # sidecar (`train.py:78-83`)
     ckpt = CheckpointManager(model_dir / "ckpt", backup_every=backup_every)
+    tb = TrainLogger(model_dir / "logs")
 
     step = 1
     opt_state_tpl = None
@@ -101,6 +119,10 @@ def train(run_id: str, syn_dir: Path, models_dir: Path,
             continue
         tx = optax.chain(optax.clip_by_global_norm(1.0),
                          optax.adam(lr, b1=0.9, b2=0.999))
+        if finetune_layers:
+            tx = optax.chain(tx, optax.masked(
+                optax.set_to_zero(),
+                jax.tree.map(lambda t: not t, finetune_mask(params, finetune_layers))))
         opt_state = tx.init(params)
         if not force_restart and opt_state_tpl is None:
             step0, restored = ckpt.restore_latest(
@@ -136,12 +158,18 @@ def train(run_id: str, syn_dir: Path, models_dir: Path,
                 if step % log_every == 0:
                     dt = (time.time() - t0) / log_every
                     print(f"step {step} | loss {np.mean(loss_acc):.4f} | {dt*1000:.0f} ms/step")
+                    tb.scalars(step, **{"train/loss": np.mean(loss_acc),
+                                        "train/m1": float(parts["m1"]),
+                                        "train/m2": float(parts["m2"]),
+                                        "train/stop": float(parts["stop"]),
+                                        "train/ms_per_step": dt * 1000})
                     t0, loss_acc = time.time(), []
                 if save_every and step % save_every == 0:
                     ckpt.save(step, {"params": params, "batch_stats": batch_stats,
                                      "opt_state": opt_state})
                 if eval_every and step % eval_every == 0:
                     _save_eval_artifacts(eval_dir, step, batch, attn)
+                    tb.alignment(step, "train/attention", np.asarray(attn)[0].T)
                 step += 1
                 if step >= max_step or (total_steps and step > total_steps):
                     done = True

@@ -30,6 +30,7 @@ from ...dsp import spectrogram_vits, spec_to_mel_vits
 from ...parallel.mesh import make_mesh, shard_batch
 from ...text import text_to_sequence
 from ...train.checkpoint import CheckpointManager
+from ...train.logging import TrainLogger
 from ..vocoder.gan_losses import (discriminator_loss, feature_loss,
                                   generator_loss, kl_loss)
 from ..vocoder.hifigan import DiscriminatorP, DiscriminatorS
@@ -278,6 +279,7 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, cfg=None,
     g_opt, d_opt = tx_g.init(g_params), tx_d.init(d_vars["params"])
 
     ckpt = CheckpointManager(Path(models_dir) / run_id / "ckpt_vits")
+    tb = TrainLogger(Path(models_dir) / run_id / "logs_vits")
     tpl = {"g": g_params, "d": d_vars, "g_opt": g_opt, "d_opt": d_opt}
     step0, restored = ckpt.restore_latest(tpl)
     step = 1
@@ -307,6 +309,11 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, cfg=None,
                 dt = (time.time() - t0) / len(acc)
                 print(f"step {step} | gen {g:.3f} | disc {d:.3f} | mel {m/C_MEL:.4f} "
                       f"| {dt*1000:.0f} ms/step")
+                tb.scalars(step, **{"train/gen": g, "train/disc": d,
+                                    "train/mel": m / C_MEL,
+                                    "train/dur": float(parts["dur"]),
+                                    "train/kl": float(parts["kl"]),
+                                    "train/ms_per_step": dt * 1000})
                 t0, acc = time.time(), []
             if save_every and step % save_every == 0:
                 ckpt.save(step, {"g": g_params, "d": d_vars,

@@ -25,6 +25,7 @@ from ...config import Config
 from ...dsp import spectrogram_vits, spec_to_mel_vits
 from ...parallel.mesh import make_mesh, shard_batch
 from ...train.checkpoint import CheckpointManager
+from ...train.logging import TrainLogger
 from ..tacotron.dataset import DataLoader
 from .dataset import MelDataset, collate_gan, get_dataset_filelist
 from .gan_losses import discriminator_loss, feature_loss, generator_loss
@@ -122,6 +123,7 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, arch: str = "hifigan",
 
     model_dir = Path(models_dir) / run_id
     ckpt = CheckpointManager(model_dir / f"ckpt_{arch}")
+    tb = TrainLogger(model_dir / f"logs_{arch}")
     state_tpl = {"g": g_params, "d": d_vars, "g_opt": g_opt, "d_opt": d_opt}
     step0, restored = ckpt.restore_latest(state_tpl)
     step = 1
@@ -152,6 +154,8 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, arch: str = "hifigan",
                 dt = (time.time() - t0) / len(accs)
                 print(f"step {step} | gen {g:.3f} | disc {d:.3f} | mel {ml/45:.4f} | "
                       f"{dt*1000:.0f} ms/step")
+                tb.scalars(step, **{"train/gen": g, "train/disc": d,
+                                    "train/mel": ml / 45, "train/ms_per_step": dt * 1000})
                 t0, accs = time.time(), []
             if save_every and step % save_every == 0:
                 ckpt.save(step, {"g": g_params, "d": d_vars, "g_opt": g_opt, "d_opt": d_opt})

@@ -31,7 +31,7 @@ class GanVocoder:
     """Parallel conv vocoder wrapper (HiFi-GAN / Fre-GAN)."""
 
     def __init__(self, arch: str = "hifigan", model_fpath: Optional[Union[str, Path]] = None,
-                 cfg=None, verbose: bool = True, seed: int = 0):
+                 cfg=None, verbose: bool = True, seed: int = 0, half: bool = True):
         self.arch = arch
         base = hifigan_config() if arch == "hifigan" else fregan_config()
         self.cfg = Config(base).merge(cfg or {})
@@ -49,10 +49,20 @@ class GanVocoder:
         elif verbose:
             print(f"{arch}: fresh (untrained) weights")
         self.params = params
+        # bf16 inference: conv stacks are FLOP-bound on the MXU; weights and
+        # activations in bf16, output back to f32 (half=False for exact f32)
+        self.half = half
+        if half:
+            self._params_c = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
+        else:
+            self._params_c = params
 
         @functools.partial(jax.jit)
         def _fwd(p, mel):
-            return self.model.apply({"params": p}, mel)
+            if half:
+                mel = mel.astype(jnp.bfloat16)
+            return self.model.apply({"params": p}, mel).astype(jnp.float32)
         self._fwd = _fwd
 
     def infer_waveform(self, mel: np.ndarray) -> np.ndarray:
@@ -61,14 +71,29 @@ class GanVocoder:
         Pads T to a bucket so repeat calls reuse the compiled program, then
         trims (the generator is length-equivariant)."""
         mel = np.asarray(mel, np.float32)
-        if mel.shape[0] == self.cfg.num_mels:
+        if mel.shape[0] == self.cfg.num_mels and mel.shape[1] != self.cfg.num_mels:
             mel = mel.T  # → (T, M)
         t = mel.shape[0]
         t_pad = _bucket(t)
         if t_pad != t:
             mel = np.pad(mel, ((0, t_pad - t), (0, 0)), constant_values=mel.min())
-        wav = np.asarray(self._fwd(self.params, jnp.asarray(mel[None])))[0]
+        wav = np.asarray(self._fwd(self._params_c, jnp.asarray(mel[None])))[0]
         return wav[: t * self.cfg.hop_size]
+
+    def infer_waveform_batch(self, mels) -> list:
+        """Batched vocoding: list of (M, T_i) mels → list of wavs. All mels
+        are padded to one bucketed length and vocoded in a single device
+        call — on TPU this is ~len(mels)× cheaper than per-mel calls."""
+        mels = [np.asarray(m, np.float32) for m in mels]
+        mels = [m.T if (m.shape[0] == self.cfg.num_mels
+                        and m.shape[1] != self.cfg.num_mels) else m for m in mels]
+        lengths = [m.shape[0] for m in mels]
+        t_pad = _bucket(max(lengths))
+        batch = np.stack([
+            np.pad(m, ((0, t_pad - m.shape[0]), (0, 0)), constant_values=m.min())
+            for m in mels])
+        wavs = np.asarray(self._fwd(self._params_c, jnp.asarray(batch)))
+        return [wavs[i, : lengths[i] * self.cfg.hop_size] for i in range(len(mels))]
 
 
 def load_vocoder(model_fpath: Union[str, Path, None] = None, verbose: bool = True):

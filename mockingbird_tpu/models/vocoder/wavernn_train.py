@@ -21,6 +21,7 @@ from ...config import Config
 from ...dsp import encode_mu_law, float_2_label, label_2_float, preemphasis_np
 from ...parallel.mesh import make_mesh, shard_batch
 from ...train.checkpoint import CheckpointManager
+from ...train.logging import TrainLogger
 from ..tacotron.dataset import DataLoader
 from .distribution import discretized_mix_logistic_loss
 from .wavernn import WaveRNN, wavernn_config
@@ -134,6 +135,7 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, ground_truth: bool = Fal
     dataset = WaveRnnDataset(syn_dir / "train.txt", mel_dir, syn_dir / "audio", cfg)
 
     ckpt = CheckpointManager(Path(models_dir) / run_id / "ckpt_wavernn")
+    tb = TrainLogger(Path(models_dir) / run_id / "logs_wavernn")
     step0, restored = ckpt.restore_latest(
         {"params": params, "batch_stats": batch_stats, "opt_state": opt_state})
     step = 1
@@ -160,6 +162,8 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, ground_truth: bool = Fal
             if step % log_every == 0:
                 dt = (time.time() - t0) / len(acc)
                 print(f"step {step} | loss {np.mean(acc):.4f} | {dt*1000:.0f} ms/step")
+                tb.scalars(step, **{"train/loss": float(np.mean(acc)),
+                                    "train/ms_per_step": dt * 1000})
                 t0, acc = time.time(), []
             if save_every and step % save_every == 0:
                 ckpt.save(step, {"params": params, "batch_stats": batch_stats,

@@ -74,6 +74,8 @@ class VoiceCloningPipeline:
             steps=steps)
         if use_griffin_lim:
             return [self.synthesizer.griffin_lim(s) for s in specs]
+        if hasattr(self.vocoder, "infer_waveform_batch") and len(specs) > 1:
+            return self.vocoder.infer_waveform_batch(specs)
         return [self.vocoder.infer_waveform(s) for s in specs]
 
     def tts_to_file(self, text: str, ref_wav: Union[str, Path], out_path: Union[str, Path],
