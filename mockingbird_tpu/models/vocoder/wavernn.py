@@ -245,7 +245,7 @@ class WaveRnnVocoder:
         self.variables = variables
 
     @functools.lru_cache(maxsize=4)
-    def _gen_fn(self, num_folds: int, seq_len: int):
+    def _gen_fn(self, num_folds: int, seq_len: int, greedy: bool = False):
         model, variables, cfg = self.model, self.variables, self.cfg
         mode = cfg.mode
         n_classes = 2 ** cfg.bits if mode == "RAW" else 30
@@ -264,7 +264,10 @@ class WaveRnnVocoder:
                     method=WaveRNN.gen_step)
                 key, sub = jax.random.split(key)
                 if mode == "RAW":
-                    sample_cls = jax.random.categorical(sub, logits, axis=-1)
+                    if greedy:
+                        sample_cls = jnp.argmax(logits, axis=-1)
+                    else:
+                        sample_cls = jax.random.categorical(sub, logits, axis=-1)
                     sample = 2.0 * sample_cls.astype(jnp.float32) / (n_classes - 1.0) - 1.0
                 else:
                     sample = sample_from_discretized_mix_logistic(
@@ -283,7 +286,8 @@ class WaveRnnVocoder:
     def infer_waveform(self, mel: np.ndarray, normalize: bool = True,
                        batched: Optional[bool] = None,
                        target: Optional[int] = None, overlap: Optional[int] = None,
-                       seed: int = 0) -> np.ndarray:
+                       seed: int = 0, use_pallas: Optional[bool] = None,
+                       greedy: bool = False) -> np.ndarray:
         cfg = self.cfg
         batched = cfg.gen_batched if batched is None else batched
         target = target or cfg.gen_target
@@ -308,9 +312,24 @@ class WaveRnnVocoder:
         else:
             mels_f, aux_f = mels_up, aux
 
-        gen = self._gen_fn(mels_f.shape[0], mels_f.shape[1])
-        samples = np.asarray(gen(jnp.asarray(mels_f), jnp.asarray(aux_f),
-                                 jax.random.PRNGKey(seed)), np.float64)
+        if use_pallas is None:
+            use_pallas = (cfg.mode == "RAW"
+                          and jax.default_backend() not in ("cpu",))
+        if use_pallas and cfg.mode == "RAW":
+            # fused VMEM-resident sampling kernel (ops/wavernn_sample.py)
+            from ...ops.wavernn_sample import (pack_wavernn_weights,
+                                               wavernn_sample_pallas)
+            if not hasattr(self, "_packed_w"):
+                self._packed_w = pack_wavernn_weights(self.variables["params"])
+            labels = wavernn_sample_pallas(
+                self._packed_w, jnp.asarray(mels_f), jnp.asarray(aux_f),
+                seed, 2 ** cfg.bits, greedy=greedy)
+            samples = (2.0 * np.asarray(labels, np.float64)
+                       / (2 ** cfg.bits - 1.0) - 1.0)
+        else:
+            gen = self._gen_fn(mels_f.shape[0], mels_f.shape[1], greedy)
+            samples = np.asarray(gen(jnp.asarray(mels_f), jnp.asarray(aux_f),
+                                     jax.random.PRNGKey(seed)), np.float64)
 
         if batched:
             output = xfade_and_unfold(samples, overlap)

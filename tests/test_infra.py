@@ -164,3 +164,31 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_wavernn_pallas_kernel_parity():
+    """Fused sampling kernel (interpret mode) vs the scan generator in greedy
+    mode: labels must match exactly with f32 weights."""
+    import functools
+    from mockingbird_tpu.config import Config
+    from mockingbird_tpu.models.vocoder.wavernn import WaveRNN, WaveRnnVocoder, wavernn_config
+    from mockingbird_tpu.ops.wavernn_sample import (pack_wavernn_weights,
+                                                    wavernn_sample_pallas)
+
+    cfg = Config(wavernn_config()).merge(dict(
+        rnn_dims=32, fc_dims=32, compute_dims=16, res_out_dims=16, res_blocks=2,
+        upsample_factors=[4, 4], hop_size=16, seq_len=16 * 4, pad=2))
+    voc = WaveRnnVocoder(cfg=cfg, verbose=False)
+    mel = np.random.RandomState(0).randn(80, 20).astype(np.float32)
+    mel_p = np.pad(mel.T / 4.0, ((2, 2), (0, 0)))[None]
+    up = jax.jit(functools.partial(voc.model.apply, voc.variables,
+                                   method=WaveRNN.upsample_features))
+    mels_up, aux = up(jnp.asarray(mel_p))
+    T = mels_up.shape[1]
+    g = voc._gen_fn(1, T, True)
+    lab_scan = np.round((np.asarray(g(mels_up, aux, jax.random.PRNGKey(0)))[0] + 1)
+                        * 511 / 2).astype(np.int32)
+    w = pack_wavernn_weights(voc.variables["params"], dtype=jnp.float32)
+    lab_pal = np.asarray(wavernn_sample_pallas(
+        w, mels_up, aux, 0, 512, greedy=True, interpret=True, chunk=64))[0]
+    np.testing.assert_array_equal(lab_pal[:T], lab_scan[:T])
