@@ -1,0 +1,89 @@
+"""Import the reference's PyTorch model code for equivalence testing.
+
+The reference source at /root/reference is pure torch for the model classes;
+unavailable host deps (librosa, webrtcvad, pypinyin, the compiled
+monotonic_align, ...) are stubbed before import so the module graphs load.
+Only used by tests/tools — never by the production path.
+"""
+from __future__ import annotations
+
+import sys
+import types
+from pathlib import Path
+
+REFERENCE_ROOT = Path("/root/reference")
+
+_STUBS = ["librosa", "librosa.filters", "librosa.core", "librosa.effects",
+          "librosa.feature", "librosa.util", "webrtcvad", "pypinyin",
+          "pypinyin.contrib", "pypinyin.contrib.neutral_tone",
+          "pypinyin.converter", "pypinyin.core", "monotonic_align",
+          "loguru", "pyworld", "soundfile", "visdom", "umap", "resampy",
+          "tqdm", "unidecode", "inflect", "cn2an", "pywt"]
+
+
+def _stub(name: str) -> None:
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+    mod.__getattr__ = lambda attr: (lambda *a, **k: None)  # type: ignore
+    if name == "loguru":
+        class _L:
+            def __getattr__(self, a):
+                return lambda *x, **k: None
+        mod.logger = _L()
+    if name == "tqdm":
+        mod.tqdm = lambda it, *a, **k: it
+    sys.modules[name] = mod
+
+
+def reference_available() -> bool:
+    return REFERENCE_ROOT.exists()
+
+
+def setup_reference_imports() -> None:
+    """Add /root/reference to sys.path with dependency stubs installed."""
+    for s in _STUBS:
+        _stub(s)
+    # the reference targets numpy<2 — restore removed aliases it uses
+    import numpy as np
+    for alias, repl in (("cumproduct", np.cumprod), ("int", int),
+                        ("float", float), ("bool", bool), ("object", object)):
+        if not hasattr(np, alias):
+            setattr(np, alias, repl)
+    if str(REFERENCE_ROOT) not in sys.path:
+        sys.path.insert(0, str(REFERENCE_ROOT))
+
+
+def load_reference_hifigan_generator(cfg):
+    """Instantiate the reference HiFi-GAN Generator with our config values."""
+    setup_reference_imports()
+    from types import SimpleNamespace
+    from models.vocoder.hifigan.models import Generator as TorchGenerator  # type: ignore
+    h = SimpleNamespace(
+        resblock=cfg.resblock,
+        upsample_rates=list(cfg.upsample_rates),
+        upsample_kernel_sizes=list(cfg.upsample_kernel_sizes),
+        upsample_initial_channel=cfg.upsample_initial_channel,
+        resblock_kernel_sizes=list(cfg.resblock_kernel_sizes),
+        resblock_dilation_sizes=[list(d) for d in cfg.resblock_dilation_sizes],
+        sampling_rate=cfg.sample_rate,
+    )
+    return TorchGenerator(h)
+
+
+def load_reference_wavernn(cfg):
+    setup_reference_imports()
+    from models.vocoder.wavernn.models.fatchord_version import WaveRNN as TorchWaveRNN  # type: ignore
+    return TorchWaveRNN(
+        rnn_dims=cfg.rnn_dims, fc_dims=cfg.fc_dims, bits=cfg.bits, pad=cfg.pad,
+        upsample_factors=tuple(cfg.upsample_factors), feat_dims=cfg.feat_dims,
+        compute_dims=cfg.compute_dims, res_out_dims=cfg.res_out_dims,
+        res_blocks=cfg.res_blocks, hop_length=cfg.hop_size,
+        sample_rate=cfg.sample_rate, mode=cfg.mode)
+
+
+def load_reference_encoder():
+    setup_reference_imports()
+    import torch
+    from models.encoder.model import SpeakerEncoder as TorchEncoder  # type: ignore
+    return TorchEncoder(torch.device("cpu"), torch.device("cpu"))

@@ -40,8 +40,10 @@ class SpeakerEncoder(nn.Module):
     def __call__(self, utterances: jax.Array) -> jax.Array:
         x = utterances
         for i in range(self.num_layers):
-            rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size), name=f"lstm_{i}")
-            x = rnn(x)
+            # the cell is constructed in this compact scope, so it binds here:
+            # name it explicitly for stable param paths (interop relies on it)
+            cell = nn.OptimizedLSTMCell(self.hidden_size, name=f"lstm_{i}")
+            x = nn.RNN(cell)(x)
         # reference takes the last layer's final hidden state (`model.py:55-57`);
         # for an LSTM the final hidden state equals the last output
         last = x[:, -1, :]

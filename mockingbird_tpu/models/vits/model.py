@@ -149,8 +149,11 @@ class VitsGenerator(nn.Module):
         for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
             ch = c.upsample_initial_channel // (2 ** (i + 1))
             x = nn.leaky_relu(x, LRELU_SLOPE)
-            x = nn.WeightNorm(nn.ConvTranspose(ch, (k,), strides=(u,), padding="SAME"),
-                              name=f"ups_{i}")(x)
+            t_in = x.shape[1]
+            x = nn.WeightNorm(nn.ConvTranspose(ch, (k,), strides=(u,), padding="VALID",
+                                               name=f"ups_{i}_conv"), name=f"ups_{i}")(x)
+            off = u // 2 + u % 2
+            x = x[:, off : off + t_in * u]
             xs = None
             for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
                                              c.resblock_dilation_sizes)):

@@ -91,26 +91,36 @@ class FreGanGenerator(nn.Module):
         num_kernels = len(c.resblock_kernel_sizes)
 
         mel = x
-        x = nn.WeightNorm(nn.Conv(c.upsample_initial_channel, (7,), padding="SAME"),
-                          name="conv_pre")(x)
+        x = nn.WeightNorm(nn.Conv(c.upsample_initial_channel, (7,), padding="SAME",
+                                  name="conv_pre_conv"), name="conv_pre")(x)
         output = None
         for i, (u, k) in enumerate(zip(rates, kernels)):
             ch_in = c.upsample_initial_channel // (2 ** i)
             ch = c.upsample_initial_channel // (2 ** (i + 1))
             if i >= cond_level:
                 # upsample the running mel branch to x's rate and add
+                tm = mel.shape[1]
+                um, km = rates[i - 1], kernels[i - 1]
                 mel = nn.WeightNorm(
-                    nn.ConvTranspose(ch_in, (kernels[i - 1],), strides=(rates[i - 1],),
-                                     padding="SAME"), name=f"cond_up_{i - cond_level}")(mel)
+                    nn.ConvTranspose(ch_in, (km,), strides=(um,),
+                                     padding="VALID", name=f"cond_up_{i - cond_level}_conv"),
+                    name=f"cond_up_{i - cond_level}")(mel)
+                offm = um // 2 + um % 2
+                mel = mel[:, offm : offm + tm * um]
                 x = x + mel
             if i > cond_level:
                 src = x if output is None else output
                 up = jnp.repeat(src, u, axis=1)  # nearest upsample
-                output = nn.WeightNorm(nn.Conv(ch, (1,), padding="SAME"),
-                                       name=f"res_output_{i - cond_level - 1}")(up)
+                output = nn.WeightNorm(
+                    nn.Conv(ch, (1,), padding="SAME",
+                            name=f"res_output_{i - cond_level - 1}_conv"),
+                    name=f"res_output_{i - cond_level - 1}")(up)
             x = nn.leaky_relu(x, LRELU_SLOPE)
-            x = nn.WeightNorm(nn.ConvTranspose(ch, (k,), strides=(u,), padding="SAME"),
-                              name=f"ups_{i}")(x)
+            t_in = x.shape[1]
+            x = nn.WeightNorm(nn.ConvTranspose(ch, (k,), strides=(u,), padding="VALID",
+                                               name=f"ups_{i}_conv"), name=f"ups_{i}")(x)
+            off = u // 2 + u % 2
+            x = x[:, off : off + t_in * u]
             xs = None
             for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
                                              c.resblock_dilation_sizes)):
@@ -121,7 +131,8 @@ class FreGanGenerator(nn.Module):
                 output = output + x
 
         x = nn.leaky_relu(output)
-        x = nn.WeightNorm(nn.Conv(1, (7,), padding="SAME"), name="conv_post")(x)
+        x = nn.WeightNorm(nn.Conv(1, (7,), padding="SAME", name="conv_post_conv"),
+                          name="conv_post")(x)
         return jnp.tanh(x)[..., 0]
 
 

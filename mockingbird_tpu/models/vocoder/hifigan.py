@@ -56,9 +56,12 @@ def hifigan_config() -> Config:
 
 
 def _wn_conv(features, kernel, strides=1, dilation=1, groups=1, name=None):
+    # the wrapped conv gets an explicit sibling name (<name>_conv) so param
+    # paths are stable for checkpoint interop (see interop/torch_weights.py)
     return nn.WeightNorm(nn.Conv(features, (kernel,), strides=(strides,),
                                  kernel_dilation=(dilation,), padding="SAME",
-                                 feature_group_count=groups), name=name)
+                                 feature_group_count=groups, name=f"{name}_conv"),
+                         name=name)
 
 
 class ResBlock1(nn.Module):
@@ -100,17 +103,22 @@ class Generator(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        x = nn.WeightNorm(nn.Conv(c.upsample_initial_channel, (7,), padding="SAME"),
-                          name="conv_pre")(x)
+        x = nn.WeightNorm(nn.Conv(c.upsample_initial_channel, (7,), padding="SAME",
+                                  name="conv_pre_conv"), name="conv_pre")(x)
         res_cls = ResBlock1 if c.resblock == "1" else ResBlock2
         num_kernels = len(c.resblock_kernel_sizes)
 
         for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
             ch = c.upsample_initial_channel // (2 ** (i + 1))
             x = nn.leaky_relu(x, LRELU_SLOPE)
+            t_in = x.shape[1]
             x = nn.WeightNorm(
-                nn.ConvTranspose(ch, (k,), strides=(u,), padding="SAME"),
-                name=f"ups_{i}")(x)
+                nn.ConvTranspose(ch, (k,), strides=(u,), padding="VALID",
+                                 name=f"ups_{i}_conv"), name=f"ups_{i}")(x)
+            # torch ConvTranspose1d(pad=u//2+u%2, output_padding=u%2) == the
+            # VALID (full) transposed conv sliced at that offset
+            off = u // 2 + u % 2
+            x = x[:, off : off + t_in * u]
             xs = None
             for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
                                              c.resblock_dilation_sizes)):
@@ -119,7 +127,8 @@ class Generator(nn.Module):
             x = xs / num_kernels
 
         x = nn.leaky_relu(x)
-        x = nn.WeightNorm(nn.Conv(1, (7,), padding="SAME"), name="conv_post")(x)
+        x = nn.WeightNorm(nn.Conv(1, (7,), padding="SAME", name="conv_post_conv"),
+                          name="conv_post")(x)
         return jnp.tanh(x)[..., 0]  # (B, T*prod(rates))
 
 
@@ -144,14 +153,16 @@ class DiscriminatorP(nn.Module):
         chs = [32, 128, 512, 1024]
         for i, ch in enumerate(chs):
             x = nn.WeightNorm(nn.Conv(ch, (self.kernel_size, 1), strides=(self.stride, 1),
-                                      padding=((2, 2), (0, 0))), name=f"convs_{i}")(x)
+                                      padding=((2, 2), (0, 0)), name=f"convs_{i}_conv"),
+                              name=f"convs_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = nn.WeightNorm(nn.Conv(1024, (self.kernel_size, 1), padding=((2, 2), (0, 0))),
-                          name="convs_4")(x)
+        x = nn.WeightNorm(nn.Conv(1024, (self.kernel_size, 1), padding=((2, 2), (0, 0)),
+                                  name="convs_4_conv"), name="convs_4")(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
-        x = nn.WeightNorm(nn.Conv(1, (3, 1), padding=((1, 1), (0, 0))), name="conv_post")(x)
+        x = nn.WeightNorm(nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)),
+                                  name="conv_post_conv"), name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
@@ -168,14 +179,15 @@ class DiscriminatorS(nn.Module):
                 (1024, 41, 4, 16), (1024, 41, 1, 16), (1024, 5, 1, 1)]
         fmap = []
         for i, (ch, k, s, g) in enumerate(spec):
-            conv = nn.Conv(ch, (k,), strides=(s,), padding="SAME", feature_group_count=g)
+            conv = nn.Conv(ch, (k,), strides=(s,), padding="SAME",
+                           feature_group_count=g, name=f"convs_{i}_conv")
             if self.use_spectral_norm:
                 x = nn.SpectralNorm(conv, name=f"convs_{i}")(x, update_stats=train)
             else:
                 x = nn.WeightNorm(conv, name=f"convs_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        post = nn.Conv(1, (3,), padding="SAME")
+        post = nn.Conv(1, (3,), padding="SAME", name="conv_post_conv")
         if self.use_spectral_norm:
             x = nn.SpectralNorm(post, name="conv_post")(x, update_stats=train)
         else:
