@@ -1,8 +1,9 @@
 from .torch_weights import (  # noqa: F401
-    convert_encoder, convert_hifigan_generator, convert_wavernn,
+    convert_encoder, convert_hifigan_generator, convert_tacotron, convert_wavernn,
     state_dict_to_numpy,
 )
 from .reference_loader import (  # noqa: F401
     load_reference_encoder, load_reference_hifigan_generator,
+    load_reference_tacotron,
     load_reference_wavernn, reference_available,
 )

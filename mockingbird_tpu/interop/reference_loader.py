@@ -13,7 +13,7 @@ from pathlib import Path
 
 REFERENCE_ROOT = Path("/root/reference")
 
-_STUBS = ["librosa", "librosa.filters", "librosa.core", "librosa.effects",
+_STUBS = ["imp", "librosa", "librosa.filters", "librosa.core", "librosa.effects",
           "librosa.feature", "librosa.util", "webrtcvad", "pypinyin",
           "pypinyin.contrib", "pypinyin.contrib.neutral_tone",
           "pypinyin.converter", "pypinyin.core", "monotonic_align",
@@ -87,3 +87,16 @@ def load_reference_encoder():
     import torch
     from models.encoder.model import SpeakerEncoder as TorchEncoder  # type: ignore
     return TorchEncoder(torch.device("cpu"), torch.device("cpu"))
+
+
+def load_reference_tacotron(cfg):
+    setup_reference_imports()
+    from models.synthesizer.models.tacotron import Tacotron as TorchTacotron  # type: ignore
+    return TorchTacotron(
+        embed_dims=cfg.embed_dims, num_chars=cfg.num_chars,
+        encoder_dims=cfg.encoder_dims, decoder_dims=cfg.decoder_dims,
+        n_mels=cfg.n_mels, fft_bins=cfg.fft_bins, postnet_dims=cfg.postnet_dims,
+        encoder_K=cfg.encoder_K, lstm_dims=cfg.lstm_dims, postnet_K=cfg.postnet_K,
+        num_highways=cfg.num_highways, dropout=cfg.dropout,
+        stop_threshold=cfg.stop_threshold,
+        speaker_embedding_size=cfg.speaker_embedding_size)

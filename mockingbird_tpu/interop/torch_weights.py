@@ -236,3 +236,111 @@ def convert_encoder(sd: Dict[str, np.ndarray], hidden: int = 256) -> Dict:
             sd[f"lstm.bias_ih_l{layer}"], sd[f"lstm.bias_hh_l{layer}"], hidden)
     p["linear"] = {"kernel": dense(sd["linear.weight"]), "bias": sd["linear.bias"]}
     return p
+
+
+# ---------------------------------------------------------------------------
+# Tacotron (`models/synthesizer/models/tacotron.py`)
+# ---------------------------------------------------------------------------
+
+def _convert_cbhg(sd: Dict[str, np.ndarray], prefix: str, K: int,
+                  num_highways: int, bidir_hidden: int) -> tuple:
+    p: Dict = {}
+    stats: Dict = {}
+    for i in range(K):
+        bn_p, bn_s = batchnorm(sd, f"{prefix}.conv1d_bank.{i}.bnorm")
+        p[f"bank_{i+1}"] = {"conv": {"kernel": conv1d(sd[f"{prefix}.conv1d_bank.{i}.conv.weight"])},
+                            "bnorm": bn_p}
+        stats[f"bank_{i+1}"] = {"bnorm": bn_s}
+    for name in ("conv_project1", "conv_project2"):
+        bn_p, bn_s = batchnorm(sd, f"{prefix}.{name}.bnorm")
+        p[name] = {"conv": {"kernel": conv1d(sd[f"{prefix}.{name}.conv.weight"])},
+                   "bnorm": bn_p}
+        stats[name] = {"bnorm": bn_s}
+    if f"{prefix}.pre_highway.weight" in sd:
+        p["pre_highway"] = {"kernel": dense(sd[f"{prefix}.pre_highway.weight"])}
+    for i in range(num_highways):
+        p[f"highway_{i}"] = {
+            "W1": {"kernel": dense(sd[f"{prefix}.highways.{i}.W1.weight"]),
+                   "bias": sd[f"{prefix}.highways.{i}.W1.bias"]},
+            "W2": {"kernel": dense(sd[f"{prefix}.highways.{i}.W2.weight"]),
+                   "bias": sd[f"{prefix}.highways.{i}.W2.bias"]}}
+    p["gru_fwd"] = torch_gru_to_flax(
+        sd[f"{prefix}.rnn.weight_ih_l0"], sd[f"{prefix}.rnn.weight_hh_l0"],
+        sd[f"{prefix}.rnn.bias_ih_l0"], sd[f"{prefix}.rnn.bias_hh_l0"], bidir_hidden)
+    p["gru_bwd"] = torch_gru_to_flax(
+        sd[f"{prefix}.rnn.weight_ih_l0_reverse"], sd[f"{prefix}.rnn.weight_hh_l0_reverse"],
+        sd[f"{prefix}.rnn.bias_ih_l0_reverse"], sd[f"{prefix}.rnn.bias_hh_l0_reverse"],
+        bidir_hidden)
+    return p, stats
+
+
+def _prenet(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    return {"fc1": {"kernel": dense(sd[f"{prefix}.fc1.weight"]), "bias": sd[f"{prefix}.fc1.bias"]},
+            "fc2": {"kernel": dense(sd[f"{prefix}.fc2.weight"]), "bias": sd[f"{prefix}.fc2.bias"]}}
+
+
+def convert_tacotron(sd: Dict[str, np.ndarray], cfg) -> tuple:
+    """torch Tacotron state_dict → (params, batch_stats) for our Tacotron."""
+    p: Dict = {}
+    stats: Dict = {}
+
+    enc: Dict = {"embedding": {"embedding": sd["encoder.embedding.weight"]},
+                 "pre_net": _prenet(sd, "encoder.pre_net")}
+    cbhg_p, cbhg_s = _convert_cbhg(sd, "encoder.cbhg", cfg.encoder_K,
+                                   cfg.num_highways, cfg.encoder_dims // 2)
+    enc["cbhg"] = cbhg_p
+    p["encoder"] = enc
+    stats["encoder"] = {"cbhg": cbhg_s}
+
+    p["encoder_proj"] = {"kernel": dense(sd["encoder_proj.weight"])}
+
+    if cfg.use_gst:
+        g_enc: Dict = {}
+        g_enc_s: Dict = {}
+        for i in range(len(cfg.gst_ref_filters)):
+            g_enc[f"conv_{i}"] = {"kernel": conv2d(sd[f"gst.encoder.convs.{i}.weight"]),
+                                  "bias": sd[f"gst.encoder.convs.{i}.bias"]}
+            bn_p, bn_s = batchnorm(sd, f"gst.encoder.bns.{i}")
+            g_enc[f"bn_{i}"] = bn_p
+            g_enc_s[f"bn_{i}"] = bn_s
+        g_enc["gru"] = torch_gru_to_flax(
+            sd["gst.encoder.gru.weight_ih_l0"], sd["gst.encoder.gru.weight_hh_l0"],
+            sd["gst.encoder.gru.bias_ih_l0"], sd["gst.encoder.gru.bias_hh_l0"],
+            cfg.gst_E // 2)
+        p["gst"] = {"encoder": g_enc,
+                    "stl": {"embed": sd["gst.stl.embed"],
+                            "W_query": {"kernel": dense(sd["gst.stl.attention.W_query.weight"])},
+                            "W_key": {"kernel": dense(sd["gst.stl.attention.W_key.weight"])},
+                            "W_value": {"kernel": dense(sd["gst.stl.attention.W_value.weight"])}}}
+        stats["gst"] = {"encoder": g_enc_s}
+
+    dec: Dict = {"prenet": _prenet(sd, "decoder.prenet")}
+    dec["attn_net"] = {
+        "conv": {"kernel": conv1d(sd["decoder.attn_net.conv.weight"]),
+                 "bias": sd["decoder.attn_net.conv.bias"]},
+        "L": {"kernel": dense(sd["decoder.attn_net.L.weight"])},
+        "W": {"kernel": dense(sd["decoder.attn_net.W.weight"]),
+              "bias": sd["decoder.attn_net.W.bias"]},
+        "v": {"kernel": dense(sd["decoder.attn_net.v.weight"])}}
+    dec["attn_rnn"] = torch_gru_to_flax(
+        sd["decoder.attn_rnn.weight_ih"], sd["decoder.attn_rnn.weight_hh"],
+        sd["decoder.attn_rnn.bias_ih"], sd["decoder.attn_rnn.bias_hh"],
+        cfg.decoder_dims)
+    dec["rnn_input"] = {"kernel": dense(sd["decoder.rnn_input.weight"]),
+                        "bias": sd["decoder.rnn_input.bias"]}
+    for name in ("res_rnn1", "res_rnn2"):
+        dec[name] = torch_lstm_to_flax(
+            sd[f"decoder.{name}.weight_ih"], sd[f"decoder.{name}.weight_hh"],
+            sd[f"decoder.{name}.bias_ih"], sd[f"decoder.{name}.bias_hh"],
+            cfg.lstm_dims)
+    dec["mel_proj"] = {"kernel": dense(sd["decoder.mel_proj.weight"])}
+    dec["stop_proj"] = {"kernel": dense(sd["decoder.stop_proj.weight"]),
+                        "bias": sd["decoder.stop_proj.bias"]}
+    p["decoder"] = dec
+
+    post_p, post_s = _convert_cbhg(sd, "postnet", cfg.postnet_K,
+                                   cfg.num_highways, cfg.postnet_dims // 2)
+    p["postnet"] = post_p
+    stats["postnet"] = post_s
+    p["post_proj"] = {"kernel": dense(sd["post_proj.weight"])}
+    return p, stats

@@ -116,24 +116,29 @@ class CBHG(nn.Module):
             y = HighwayNetwork(self.channels, name=f"highway_{i}")(y)
 
         half = self.channels // 2
-        fwd = nn.RNN(nn.GRUCell(half), name="gru_fwd")(y)
-        bwd = nn.RNN(nn.GRUCell(half), reverse=True, keep_order=True, name="gru_bwd")(y)
+        # cells constructed in this compact scope bind here: name explicitly
+        cell_f = nn.GRUCell(half, name="gru_fwd")
+        cell_b = nn.GRUCell(half, name="gru_bwd")
+        fwd = nn.RNN(cell_f)(y)
+        bwd = nn.RNN(cell_b, reverse=True, keep_order=True)(y)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 
 class PreNet(nn.Module):
     """Two dense+relu layers with always-on dropout (`sublayer/pre_net.py` —
-    dropout stays active at inference, the classic Tacotron trick)."""
+    dropout stays active at inference, the classic Tacotron trick).
+    ``enabled=False`` disables it entirely (used by equivalence tests)."""
     fc1_dims: int
     fc2_dims: int
     dropout: float = 0.5
+    enabled: bool = True
 
     @nn.compact
     def __call__(self, x):
         x = nn.relu(nn.Dense(self.fc1_dims, name="fc1")(x))
-        x = nn.Dropout(self.dropout, deterministic=False)(x)
+        x = nn.Dropout(self.dropout, deterministic=not self.enabled)(x)
         x = nn.relu(nn.Dense(self.fc2_dims, name="fc2")(x))
-        x = nn.Dropout(self.dropout, deterministic=False)(x)
+        x = nn.Dropout(self.dropout, deterministic=not self.enabled)(x)
         return x
 
 
@@ -145,7 +150,8 @@ class TacotronEncoder(nn.Module):
     def __call__(self, texts, train: bool):
         c = self.cfg
         x = nn.Embed(c.num_chars, c.embed_dims, name="embedding")(texts)
-        x = PreNet(c.encoder_dims, c.encoder_dims, c.dropout, name="pre_net")(x)
+        x = PreNet(c.encoder_dims, c.encoder_dims, c.dropout,
+                   enabled=getattr(c, "prenet_dropout", True), name="pre_net")(x)
         return CBHG(c.encoder_K, c.encoder_dims, (c.encoder_dims, c.encoder_dims),
                     c.num_highways, name="cbhg")(x, train)
 
@@ -171,8 +177,10 @@ class ReferenceEncoder(nn.Module):
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name=f"bn_{i}")(x)
             x = nn.relu(x)
         b, t, w, ch = x.shape
-        x = x.reshape(b, t, w * ch)
-        out = nn.RNN(nn.GRUCell(c.gst_E // 2), name="gru")(x)
+        # torch flattens channel-major (C, W): match that order for interop
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, t, ch * w)
+        cell = nn.GRUCell(c.gst_E // 2, name="gru")
+        out = nn.RNN(cell)(x)
         return out[:, -1, :]  # final hidden state
 
 
@@ -265,7 +273,8 @@ class TacotronDecoderCell(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.prenet = PreNet(c.decoder_dims * 2, c.decoder_dims * 2, c.dropout, name="prenet")
+        self.prenet = PreNet(c.decoder_dims * 2, c.decoder_dims * 2, c.dropout,
+                             enabled=getattr(c, "prenet_dropout", True), name="prenet")
         self.attn_net = LSA(c.decoder_dims, name="attn_net")
         self.attn_rnn = nn.GRUCell(c.decoder_dims, name="attn_rnn")
         self.rnn_input = nn.Dense(c.lstm_dims, name="rnn_input")
@@ -341,7 +350,9 @@ class Tacotron(nn.Module):
         if c.use_gst:
             self.gst = GlobalStyleToken(c, name="gst")
         self.cell = TacotronDecoderCell(c, name="decoder")
-        self.postnet = CBHG(c.postnet_K, c.n_mels, (c.postnet_dims, c.fft_bins),
+        # reference postnet: CBHG(in=n_mels, channels=postnet_dims,
+        # proj=[postnet_dims, fft_bins]) (`tacotron.py:161-163`)
+        self.postnet = CBHG(c.postnet_K, c.postnet_dims, (c.postnet_dims, c.fft_bins),
                             c.num_highways, name="postnet")
         self.post_proj = nn.Dense(c.fft_bins, use_bias=False, name="post_proj")
 

@@ -99,3 +99,55 @@ def test_conv_transpose_all_strides():
         off = u // 2 + u % 2
         yf = np.asarray(full[:, off : off + 11 * u])
         np.testing.assert_allclose(yf, yt, atol=1e-5)
+
+
+def test_tacotron_equivalence():
+    """Full Tacotron (CBHG + GST + LSA decoder + postnet) teacher-forced
+    forward matches the reference exactly with converted weights (dropout and
+    zoneout disabled on both sides, BN in eval)."""
+    import torch.nn.functional as F
+    from mockingbird_tpu.interop import (convert_tacotron, load_reference_tacotron,
+                                         state_dict_to_numpy)
+    from mockingbird_tpu.models.tacotron import Tacotron, tacotron_config
+
+    cfg = tacotron_config().merge(dict(prenet_dropout=False))
+    tt = load_reference_tacotron(cfg)
+    tt.train()
+    for m in tt.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.eval()
+    orig_dropout = F.dropout
+    import models.synthesizer.models.tacotron as ref_mod
+    orig_zoneout = ref_mod.Decoder.zoneout
+    try:
+        F.dropout = lambda x, p=0.5, training=False, inplace=False: x
+        ref_mod.Decoder.zoneout = lambda self, prev, cur, device, p=0.1: cur
+
+        params, stats = convert_tacotron(state_dict_to_numpy(tt.state_dict()), cfg)
+        model = Tacotron(cfg.freeze())
+        rng = np.random.RandomState(0)
+        texts = rng.randint(1, 74, (2, 12)).astype(np.int32)
+        mels_t = rng.randn(2, 80, 8).astype(np.float32)
+        spk = rng.randn(2, 256).astype(np.float32)
+        with torch.no_grad():
+            m_out, lin, attn, stop = tt(torch.from_numpy(texts).long(),
+                                        torch.from_numpy(mels_t),
+                                        torch.from_numpy(spk))
+        variables = {"params": jax.tree.map(jnp.asarray, params),
+                     "batch_stats": jax.tree.map(jnp.asarray, stats)}
+        out, _ = model.apply(variables, jnp.asarray(texts),
+                             jnp.asarray(mels_t.transpose(0, 2, 1)),
+                             jnp.asarray(spk), int(tt.r), False,
+                             rngs={"dropout": jax.random.PRNGKey(0),
+                                   "zoneout": jax.random.PRNGKey(1)},
+                             mutable=["batch_stats"])
+        mel_f, post_f, attn_f, stop_f = out
+        np.testing.assert_allclose(np.asarray(mel_f),
+                                   m_out.numpy().transpose(0, 2, 1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(post_f),
+                                   lin.numpy().transpose(0, 2, 1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(attn_f), attn.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(stop_f), stop.numpy(), atol=1e-5)
+    finally:
+        F.dropout = orig_dropout
+        ref_mod.Decoder.zoneout = orig_zoneout
