@@ -18,7 +18,11 @@ _STUBS = ["imp", "librosa", "librosa.filters", "librosa.core", "librosa.effects"
           "pypinyin.contrib", "pypinyin.contrib.neutral_tone",
           "pypinyin.converter", "pypinyin.core", "monotonic_align",
           "loguru", "pyworld", "soundfile", "visdom", "umap", "resampy",
-          "tqdm", "unidecode", "inflect", "cn2an", "pywt"]
+          "tqdm", "unidecode", "inflect", "cn2an", "pywt",
+          "torch_complex", "torch_complex.tensor", "humanfriendly",
+          "espnet", "espnet.nets", "espnet.nets.pytorch_backend",
+          "espnet.nets.pytorch_backend.transformer",
+          "espnet.nets.pytorch_backend.transformer.embedding"]
 
 
 def _stub(name: str) -> None:
@@ -100,3 +104,58 @@ def load_reference_tacotron(cfg):
         num_highways=cfg.num_highways, dropout=cfg.dropout,
         stop_threshold=cfg.stop_threshold,
         speaker_embedding_size=cfg.speaker_embedding_size)
+
+
+def load_reference_vits(cfg):
+    """Instantiate the reference Vits (`models/synthesizer/models/vits.py:389`)
+    with our config values."""
+    setup_reference_imports()
+    from models.synthesizer.models.vits import Vits as TorchVits  # type: ignore
+    return TorchVits(
+        n_vocab=cfg.n_vocab, spec_channels=cfg.spec_channels,
+        segment_size=cfg.segment_size // cfg.hop_size,
+        inter_channels=cfg.inter_channels, hidden_channels=cfg.hidden_channels,
+        filter_channels=cfg.filter_channels, n_heads=cfg.n_heads,
+        n_layers=cfg.n_layers, kernel_size=cfg.kernel_size,
+        p_dropout=cfg.p_dropout, resblock=cfg.resblock,
+        resblock_kernel_sizes=list(cfg.resblock_kernel_sizes),
+        resblock_dilation_sizes=[list(d) for d in cfg.resblock_dilation_sizes],
+        upsample_rates=list(cfg.upsample_rates),
+        upsample_initial_channel=cfg.upsample_initial_channel,
+        upsample_kernel_sizes=list(cfg.upsample_kernel_sizes),
+        n_speakers=cfg.n_speakers, gin_channels=cfg.gin_channels,
+        use_sdp=cfg.use_sdp)
+
+
+def load_reference_fregan(cfg):
+    """Instantiate the reference FreGAN generator (`fregan/generator.py:79`)."""
+    setup_reference_imports()
+    from types import SimpleNamespace
+    from models.vocoder.fregan.generator import FreGAN as TorchFreGAN  # type: ignore
+    h = SimpleNamespace(
+        resblock=cfg.resblock,
+        upsample_rates=list(cfg.upsample_rates),
+        upsample_kernel_sizes=list(cfg.upsample_kernel_sizes),
+        upsample_initial_channel=cfg.upsample_initial_channel,
+        resblock_kernel_sizes=list(cfg.resblock_kernel_sizes),
+        resblock_dilation_sizes=[list(d) for d in cfg.resblock_dilation_sizes],
+        sampling_rate=cfg.sample_rate,
+    )
+    return TorchFreGAN(h, top_k=cfg.top_k)
+
+
+def load_reference_conformer(cfg, input_layer: str = "linear"):
+    """Instantiate the reference ConformerEncoder
+    (`ppg_extractor/encoder/conformer_encoder.py:31`) with our config."""
+    setup_reference_imports()
+    from models.ppg_extractor.encoder.conformer_encoder import (  # type: ignore
+        ConformerEncoder as TorchConformer)
+    return TorchConformer(
+        input_size=cfg.num_mels, attention_dim=cfg.output_size,
+        attention_heads=cfg.attention_heads, linear_units=cfg.linear_units,
+        num_blocks=cfg.num_blocks, dropout_rate=cfg.dropout_rate,
+        positional_dropout_rate=cfg.dropout_rate, attention_dropout_rate=0.0,
+        input_layer="linear" if input_layer == "linear" else "conv2d",
+        no_subsample=True, macaron_style=True, pos_enc_layer_type="rel_pos",
+        selfattention_layer_type="rel_selfattn", activation_type="swish",
+        use_cnn_module=True, cnn_module_kernel=cfg.cnn_kernel)

@@ -344,3 +344,284 @@ def convert_tacotron(sd: Dict[str, np.ndarray], cfg) -> tuple:
     stats["postnet"] = post_s
     p["post_proj"] = {"kernel": dense(sd["post_proj.weight"])}
     return p, stats
+
+
+# ---------------------------------------------------------------------------
+# VITS (`models/synthesizer/models/vits.py:389-527` + sublayer/vits_modules.py)
+# ---------------------------------------------------------------------------
+
+def _plain_conv1d(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    p = {"kernel": conv1d(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _vits_layernorm(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """reference vits LayerNorm stores gamma/beta (`vits_modules.py:13-25`)."""
+    return {"scale": sd[f"{prefix}.gamma"], "bias": sd[f"{prefix}.beta"]}
+
+
+def _convert_wn(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """reference WN (`vits_modules.py:104-177`) → our `modules.WN` tree."""
+    t: Dict = {}
+    if f"{prefix}.cond_layer.weight_v" in sd:
+        _wn_entry(t, "cond_layer", wn_conv1d(sd, f"{prefix}.cond_layer"))
+    i = 0
+    while f"{prefix}.in_layers.{i}.weight_v" in sd:
+        _wn_entry(t, f"in_layers_{i}", wn_conv1d(sd, f"{prefix}.in_layers.{i}"))
+        _wn_entry(t, f"res_skip_layers_{i}",
+                  wn_conv1d(sd, f"{prefix}.res_skip_layers.{i}"))
+        i += 1
+    return t
+
+
+def _convert_ddsconv(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """reference DDSConv (`vits_modules.py:63-102`) → our `modules.DDSConv`."""
+    t: Dict = {}
+    i = 0
+    while f"{prefix}.convs_sep.{i}.weight" in sd:
+        t[f"convs_sep_{i}"] = _plain_conv1d(sd, f"{prefix}.convs_sep.{i}")
+        t[f"convs_1x1_{i}"] = _plain_conv1d(sd, f"{prefix}.convs_1x1.{i}")
+        t[f"norm1_{i}"] = _vits_layernorm(sd, f"{prefix}.norms_1.{i}")
+        t[f"norm2_{i}"] = _vits_layernorm(sd, f"{prefix}.norms_2.{i}")
+        i += 1
+    return t
+
+
+def _convert_convflow(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """reference ConvFlow (`vits_modules.py:339-383`) → our `modules.ConvFlow`."""
+    return {"pre": _plain_conv1d(sd, f"{prefix}.pre"),
+            "convs": _convert_ddsconv(sd, f"{prefix}.convs"),
+            "proj": _plain_conv1d(sd, f"{prefix}.proj")}
+
+
+def _convert_elementwise_affine(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """torch stores (C, 1); ours is (C,) (`vits_modules.py:273-289`)."""
+    return {"m": sd[f"{prefix}.m"].reshape(-1),
+            "logs": sd[f"{prefix}.logs"].reshape(-1)}
+
+
+def _convert_sdp(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """StochasticDurationPredictor (`vits.py:15-94`). Torch flow list layout:
+    flows.0 = ElementwiseAffine, flows.{1,3,5,7} = ConvFlow, even ≥2 = Flip."""
+    t: Dict = {"pre": _plain_conv1d(sd, f"{prefix}.pre"),
+               "proj": _plain_conv1d(sd, f"{prefix}.proj"),
+               "convs": _convert_ddsconv(sd, f"{prefix}.convs"),
+               "post_pre": _plain_conv1d(sd, f"{prefix}.post_pre"),
+               "post_proj": _plain_conv1d(sd, f"{prefix}.post_proj"),
+               "post_convs": _convert_ddsconv(sd, f"{prefix}.post_convs")}
+    if f"{prefix}.cond.weight" in sd:
+        t["cond"] = _plain_conv1d(sd, f"{prefix}.cond")
+    t["flow_affine"] = _convert_elementwise_affine(sd, f"{prefix}.flows.0")
+    t["post_affine"] = _convert_elementwise_affine(sd, f"{prefix}.post_flows.0")
+    for i in range(4):
+        t[f"flow_conv_{i}"] = _convert_convflow(sd, f"{prefix}.flows.{1 + 2 * i}")
+        t[f"post_conv_{i}"] = _convert_convflow(sd, f"{prefix}.post_flows.{1 + 2 * i}")
+    return t
+
+
+def _convert_dp(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """Deterministic DurationPredictor (`vits.py:96-130`)."""
+    t: Dict = {"conv_1": _plain_conv1d(sd, f"{prefix}.conv_1"),
+               "conv_2": _plain_conv1d(sd, f"{prefix}.conv_2"),
+               "norm_1": _vits_layernorm(sd, f"{prefix}.norm_1"),
+               "norm_2": _vits_layernorm(sd, f"{prefix}.norm_2"),
+               "proj": _plain_conv1d(sd, f"{prefix}.proj")}
+    if f"{prefix}.cond.weight" in sd:
+        t["cond"] = _plain_conv1d(sd, f"{prefix}.cond")
+    return t
+
+
+def _convert_text_encoder(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """TextEncoder (`vits.py:133-178`) incl. windowed-relative-attention
+    transformer (`vits_modules.py:385-420, 473-560`)."""
+    t: Dict = {"emb": {"embedding": sd["enc_p.emb.weight"]},
+               "proj": _plain_conv1d(sd, "enc_p.proj")}
+    if "enc_p.emo_proj.weight" in sd:
+        t["emo_proj"] = {"kernel": dense(sd["enc_p.emo_proj.weight"]),
+                         "bias": sd["enc_p.emo_proj.bias"]}
+    enc: Dict = {}
+    for i in range(cfg.n_layers):
+        a = f"enc_p.encoder.attn_layers.{i}"
+        enc[f"attn_{i}"] = {
+            "conv_q": _plain_conv1d(sd, f"{a}.conv_q"),
+            "conv_k": _plain_conv1d(sd, f"{a}.conv_k"),
+            "conv_v": _plain_conv1d(sd, f"{a}.conv_v"),
+            "conv_o": _plain_conv1d(sd, f"{a}.conv_o"),
+            "emb_rel_k": sd[f"{a}.emb_rel_k"],
+            "emb_rel_v": sd[f"{a}.emb_rel_v"],
+        }
+        enc[f"norm1_{i}"] = _vits_layernorm(sd, f"enc_p.encoder.norm_layers_1.{i}")
+        enc[f"ffn_{i}"] = {
+            "conv_1": _plain_conv1d(sd, f"enc_p.encoder.ffn_layers.{i}.conv_1"),
+            "conv_2": _plain_conv1d(sd, f"enc_p.encoder.ffn_layers.{i}.conv_2")}
+        enc[f"norm2_{i}"] = _vits_layernorm(sd, f"enc_p.encoder.norm_layers_2.{i}")
+    t["encoder"] = enc
+    return t
+
+
+def _convert_vits_generator(sd: Dict[str, np.ndarray], cfg, prefix: str = "dec") -> Dict:
+    """VITS decoder (`vits.py:245-297`): like HiFi-GAN but with a PLAIN
+    conv_pre/conv_post (no weight norm) and a gin `cond` conv."""
+    p: Dict = {"conv_pre": _plain_conv1d(sd, f"{prefix}.conv_pre")}
+    if f"{prefix}.cond.weight" in sd:
+        p["cond"] = _plain_conv1d(sd, f"{prefix}.cond")
+    n_k = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        _wn_entry(p, f"ups_{i}", wn_conv_transpose1d(sd, f"{prefix}.ups.{i}"))
+        for j in range(n_k):
+            blk: Dict = {}
+            flat = i * n_k + j
+            if cfg.resblock == "1":
+                for c in range(3):
+                    _wn_entry(blk, f"convs1_{c}",
+                              wn_conv1d(sd, f"{prefix}.resblocks.{flat}.convs1.{c}"))
+                    _wn_entry(blk, f"convs2_{c}",
+                              wn_conv1d(sd, f"{prefix}.resblocks.{flat}.convs2.{c}"))
+            else:
+                for c in range(2):
+                    _wn_entry(blk, f"convs_{c}",
+                              wn_conv1d(sd, f"{prefix}.resblocks.{flat}.convs.{c}"))
+            p[f"resblock_{i}_{j}"] = blk
+    p["conv_post"] = _plain_conv1d(sd, f"{prefix}.conv_post")
+    return p
+
+
+def convert_vits(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """torch Vits state_dict (a community `G_*.pth` 'model' entry) → params
+    for `models.vits.Vits`."""
+    p: Dict = {
+        "enc_p": _convert_text_encoder(sd, cfg),
+        "dec": _convert_vits_generator(sd, cfg, "dec"),
+        "enc_q": {"pre": _plain_conv1d(sd, "enc_q.pre"),
+                  "enc": _convert_wn(sd, "enc_q.enc"),
+                  "proj": _plain_conv1d(sd, "enc_q.proj")},
+    }
+    flow: Dict = {}
+    i = 0
+    while f"flow.flows.{2 * i}.pre.weight" in sd:
+        flow[f"coupling_{i}"] = {
+            "pre": _plain_conv1d(sd, f"flow.flows.{2 * i}.pre"),
+            "enc": _convert_wn(sd, f"flow.flows.{2 * i}.enc"),
+            "post": _plain_conv1d(sd, f"flow.flows.{2 * i}.post")}
+        i += 1
+    p["flow"] = flow
+    if cfg.use_sdp:
+        p["dp"] = _convert_sdp(sd, "dp")
+    else:
+        p["dp"] = _convert_dp(sd, "dp")
+    if "emb_g.weight" in sd:
+        p["emb_g"] = {"embedding": sd["emb_g.weight"]}
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Fre-GAN generator (`models/vocoder/fregan/generator.py:79-168`)
+# ---------------------------------------------------------------------------
+
+def convert_fregan_generator(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """torch FreGAN state_dict → params for `models.vocoder.fregan.FreGanGenerator`."""
+    p: Dict = {}
+    _wn_entry(p, "conv_pre", wn_conv1d(sd, "conv_pre"))
+    _wn_entry(p, "conv_post", wn_conv1d(sd, "conv_post"))
+    n_k = len(cfg.resblock_kernel_sizes)
+    n_up = len(cfg.upsample_rates)
+    cond_level = n_up - cfg.top_k
+    for i in range(n_up):
+        _wn_entry(p, f"ups_{i}", wn_conv_transpose1d(sd, f"ups.{i}"))
+        if i >= cond_level:
+            _wn_entry(p, f"cond_up_{i - cond_level}",
+                      wn_conv_transpose1d(sd, f"cond_up.{i - cond_level}"))
+        if i > cond_level:
+            # torch res_output.{n} is Sequential(Upsample, weight_norm(Conv1d))
+            _wn_entry(p, f"res_output_{i - cond_level - 1}",
+                      wn_conv1d(sd, f"res_output.{i - cond_level - 1}.1"))
+        for j in range(n_k):
+            blk: Dict = {}
+            flat = i * n_k + j
+            for c in range(len(cfg.resblock_dilation_sizes[j])):
+                _wn_entry(blk, f"convs1_{c}", wn_conv1d(sd, f"resblocks.{flat}.convs1.{c}"))
+                _wn_entry(blk, f"convs2_{c}", wn_conv1d(sd, f"resblocks.{flat}.convs2.{c}"))
+            p[f"resblock_{i}_{j}"] = blk
+    return p
+
+
+# ---------------------------------------------------------------------------
+# PPG extractor ConformerEncoder (`models/ppg_extractor/encoder/`)
+# ---------------------------------------------------------------------------
+
+def _dense_entry(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    p = {"kernel": dense(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _ln_entry(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _pw_conv_to_dense(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """torch Conv1d kernel-1 (out,in,1) → flax Dense (in,out)."""
+    return {"kernel": dense(sd[f"{prefix}.weight"][:, :, 0]),
+            "bias": sd[f"{prefix}.bias"]}
+
+
+def convert_conformer_encoder(sd: Dict[str, np.ndarray], cfg,
+                              prefix: str = "encoder") -> tuple:
+    """espnet-style ConformerEncoder state_dict → (params, batch_stats) for
+    `models.ppg.extractor.ConformerEncoder` (`conformer_encoder.py:31-262`,
+    `encoder_layer.py:55-140`, `convolution.py:27-74`, `attention.py:104-184`).
+
+    Pass the PPGModel state_dict with prefix="encoder", or a bare encoder's
+    with prefix=""."""
+    pf = f"{prefix}." if prefix else ""
+    p: Dict = {}
+    stats: Dict = {}
+    if f"{pf}embed.0.weight" in sd:                      # input_layer == linear
+        p["embed"] = _dense_entry(sd, f"{pf}embed.0")
+        p["embed_norm"] = _ln_entry(sd, f"{pf}embed.1")
+    else:                                                # Conv2dNoSubsampling
+        for i, ti in enumerate((0, 2)):
+            w = sd[f"{pf}embed.conv.{ti}.weight"]        # (out,in,kh,kw)
+            p[f"embed_conv_{i}"] = {"kernel": conv2d(w),
+                                    "bias": sd[f"{pf}embed.conv.{ti}.bias"]}
+        p["embed_out"] = _dense_entry(sd, f"{pf}embed.out.0")
+    n = 0
+    while f"{pf}encoders.{n}.norm_mha.weight" in sd:
+        e = f"{pf}encoders.{n}"
+        blk: Dict = {
+            "ff_macaron_norm": _ln_entry(sd, f"{e}.norm_ff_macaron"),
+            "ff_macaron_1": _dense_entry(sd, f"{e}.feed_forward_macaron.w_1"),
+            "ff_macaron_2": _dense_entry(sd, f"{e}.feed_forward_macaron.w_2"),
+            "attn_norm": _ln_entry(sd, f"{e}.norm_mha"),
+            "attn": {
+                "linear_q": _dense_entry(sd, f"{e}.self_attn.linear_q"),
+                "linear_k": _dense_entry(sd, f"{e}.self_attn.linear_k"),
+                "linear_v": _dense_entry(sd, f"{e}.self_attn.linear_v"),
+                "linear_out": _dense_entry(sd, f"{e}.self_attn.linear_out"),
+                "linear_pos": {"kernel": dense(sd[f"{e}.self_attn.linear_pos.weight"])},
+                "pos_bias_u": sd[f"{e}.self_attn.pos_bias_u"],
+                "pos_bias_v": sd[f"{e}.self_attn.pos_bias_v"],
+            },
+            "ff_norm": _ln_entry(sd, f"{e}.norm_ff"),
+            "ff_1": _dense_entry(sd, f"{e}.feed_forward.w_1"),
+            "ff_2": _dense_entry(sd, f"{e}.feed_forward.w_2"),
+            "final_norm": _ln_entry(sd, f"{e}.norm_final"),
+        }
+        conv: Dict = {
+            "norm": _ln_entry(sd, f"{e}.norm_conv"),
+            "pw1": _pw_conv_to_dense(sd, f"{e}.conv_module.pointwise_conv1"),
+            "dw": {"kernel": conv1d(sd[f"{e}.conv_module.depthwise_conv.weight"]),
+                   "bias": sd[f"{e}.conv_module.depthwise_conv.bias"]},
+            "pw2": _pw_conv_to_dense(sd, f"{e}.conv_module.pointwise_conv2"),
+        }
+        bn_p, bn_s = batchnorm(sd, f"{e}.conv_module.norm")
+        conv["bn"] = bn_p
+        blk["conv"] = conv
+        p[f"block_{n}"] = blk
+        stats[f"block_{n}"] = {"conv": {"bn": bn_s}}
+        n += 1
+    p["after_norm"] = _ln_entry(sd, f"{pf}after_norm")
+    return p, stats

@@ -47,18 +47,26 @@ def ppg_config() -> Config:
         num_blocks=8,
         dropout_rate=0.1,
         cnn_kernel=15,
-        input_layer="linear",   # keep the 10 ms frame rate
+        input_layer="linear",   # or "conv2d_nosub"; both keep the 10 ms rate
     )
 
 
-def logmel_frontend(wav: jax.Array, cfg) -> jax.Array:
-    """(B, L) → (B, T, 80) log-mel, 10 ms hop."""
+def logmel_frontend(wav: jax.Array, cfg, lengths=None) -> jax.Array:
+    """(B, L) → (B, T, 80) log-mel, 10 ms hop.
+
+    espnet DefaultFrontend semantics (`ppg_extractor/frontend.py:69-103`,
+    `log_mel.py:59-73`): POWER spectrum → slaney mel (norm=1) → natural log
+    of (power_mel + 1e-20), padded frames zeroed."""
     mag = stft_magnitude(wav, cfg.n_fft, cfg.hop_size, cfg.win_size,
                          center=True, pad_mode="reflect")
+    power = mag * mag
     melb = jnp.asarray(mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.num_mels,
                                       cfg.fmin, cfg.fmax or cfg.sample_rate / 2).T)
-    mel = _mm(mag, melb)
-    return jnp.log10(jnp.maximum(mel, 1e-10))
+    mel = _mm(power, melb)
+    logmel = jnp.log(mel + 1e-20)
+    if lengths is not None:
+        logmel = logmel * sequence_mask(lengths, logmel.shape[1])[..., None]
+    return logmel
 
 
 def utterance_mvn(feats, lengths, norm_means=True, norm_vars=False):
@@ -76,8 +84,10 @@ def utterance_mvn(feats, lengths, norm_means=True, norm_vars=False):
 
 
 class RelPositionMultiHeadAttention(nn.Module):
-    """Transformer-XL-style relative-position attention with learned u/v
-    biases (espnet RelPositionMultiHeadedAttention)."""
+    """Relative-position attention with learned u/v biases, matching espnet's
+    LEGACY RelPositionMultiHeadedAttention exactly (`encoder/attention.py:
+    104-184`): pos_emb has T (reversed) positions and matrix_bd goes through
+    the Transformer-XL pad-reshape shift (`attention.py:127-143`)."""
     n_heads: int
     n_feat: int
     dropout: float = 0.0
@@ -90,7 +100,7 @@ class RelPositionMultiHeadAttention(nn.Module):
         k = nn.Dense(self.n_feat, name="linear_k")(x).reshape(b, t, self.n_heads, d_k)
         v = nn.Dense(self.n_feat, name="linear_v")(x).reshape(b, t, self.n_heads, d_k)
         p = nn.Dense(self.n_feat, use_bias=False, name="linear_pos")(pos_emb)
-        p = p.reshape(1, -1, self.n_heads, d_k)  # (1, 2T-1, H, d)
+        p = p.reshape(1, -1, self.n_heads, d_k)  # (1, T, H, d)
 
         u = self.param("pos_bias_u", nn.initializers.zeros, (self.n_heads, d_k))
         vb = self.param("pos_bias_v", nn.initializers.zeros, (self.n_heads, d_k))
@@ -98,34 +108,42 @@ class RelPositionMultiHeadAttention(nn.Module):
         q = q.transpose(0, 2, 1, 3)  # (B, H, T, d)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
-        p = p.transpose(0, 2, 1, 3)  # (1, H, 2T-1, d)
+        p = p.transpose(0, 2, 1, 3)  # (1, H, T, d)
 
         ac = jnp.einsum("bhtd,bhsd->bhts", q + u[None, :, None, :], k)
-        bd = jnp.einsum("bhtd,ghmd->bhtm", q + vb[None, :, None, :], p)
-        bd = _rel_shift(bd, t)
+        bd = jnp.einsum("bhtd,ghsd->bhts", q + vb[None, :, None, :], p)
+        bd = _legacy_rel_shift(bd)
         scores = (ac + bd) / math.sqrt(d_k)
         if mask is not None:
-            scores = jnp.where(mask == 0, -1e4, scores)
+            scores = jnp.where(mask == 0, jnp.finfo(scores.dtype).min, scores)
         attn = jax.nn.softmax(scores, axis=-1)
+        if mask is not None:
+            attn = jnp.where(mask == 0, 0.0, attn)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         out = jnp.einsum("bhts,bhsd->bhtd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, self.n_feat)
         return nn.Dense(self.n_feat, name="linear_out")(out)
 
 
-def _rel_shift(x, t):
-    """(B, H, T, 2T-1) position-relative logits → (B, H, T, T) absolute."""
-    b, h, _, m = x.shape
+def _legacy_rel_shift(x):
+    """espnet legacy rel_shift (`encoder/attention.py:127-143`): pad one zero
+    column on the left then reinterpret (B,H,T,T+1) as (B,H,T+1,T) and drop
+    the first row."""
+    b, h, t, s = x.shape
     x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
-    x = x.reshape(b, h, m + 1, t)
-    return x[:, :, 1:].reshape(b, h, t, m)[..., : (m + 1) // 2]
+    return x.reshape(b, h, s + 1, t)[:, :, 1:].reshape(b, h, t, s)
 
 
-def sinusoidal_rel_pos(t: int, d: int) -> np.ndarray:
-    """Relative positions T-1 … -(T-1) encoded sinusoidally → (2T-1, d)."""
-    pos = np.arange(t - 1, -t, -1, dtype=np.float64)[:, None]
+def legacy_rel_pos(t: int, d: int, max_len: int = 5000) -> np.ndarray:
+    """espnet legacy (reversed) positional table: the module builds the table
+    once for max_len=5000 positions (`embedding.py:36-41, 56-77` with
+    reverse=True) and forward slices the FIRST t rows — so row m encodes
+    absolute position max_len-1-m, NOT t-1-m. Reproduced exactly so converted
+    checkpoints match."""
+    max_len = max(max_len, t)
+    pos = np.arange(max_len - 1, max_len - 1 - t, -1, dtype=np.float64)[:, None]
     div = np.exp(np.arange(0, d, 2, dtype=np.float64) * -(np.log(10000.0) / d))
-    pe = np.zeros((2 * t - 1, d))
+    pe = np.zeros((t, d))
     pe[:, 0::2] = np.sin(pos * div)
     pe[:, 1::2] = np.cos(pos * div)
     return pe.astype(np.float32)
@@ -138,7 +156,7 @@ class ConvModule(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
-        y = nn.LayerNorm(name="norm")(x)
+        y = nn.LayerNorm(epsilon=1e-12, name="norm")(x)
         y = nn.Dense(2 * self.channels, name="pw1")(y)
         y = nn.glu(y, axis=-1)
         y = y * mask
@@ -161,7 +179,7 @@ class ConformerBlock(nn.Module):
     def __call__(self, x, pos_emb, pad_mask, attn_mask, train: bool):
         def ff(name):
             def f(z):
-                z = nn.LayerNorm(name=f"{name}_norm")(z)
+                z = nn.LayerNorm(epsilon=1e-12, name=f"{name}_norm")(z)
                 z = nn.Dense(self.linear_units, name=f"{name}_1")(z)
                 z = nn.swish(z)
                 z = nn.Dropout(self.dropout, deterministic=not train)(z)
@@ -169,12 +187,12 @@ class ConformerBlock(nn.Module):
             return f
 
         x = x + 0.5 * ff("ff_macaron")(x)
-        y = nn.LayerNorm(name="attn_norm")(x)
+        y = nn.LayerNorm(epsilon=1e-12, name="attn_norm")(x)
         x = x + RelPositionMultiHeadAttention(self.heads, self.size, self.dropout,
                                               name="attn")(y, pos_emb, attn_mask, train)
         x = x + ConvModule(self.size, self.cnn_kernel, name="conv")(x, pad_mask, train)
         x = x + 0.5 * ff("ff")(x)
-        return nn.LayerNorm(name="final_norm")(x)
+        return nn.LayerNorm(epsilon=1e-12, name="final_norm")(x)
 
 
 class ConformerEncoder(nn.Module):
@@ -184,15 +202,35 @@ class ConformerEncoder(nn.Module):
     def __call__(self, feats, lengths, train: bool = False):
         c = self.cfg
         size = c.output_size
-        x = nn.Dense(size, name="embed")(feats)
+        if getattr(c, "input_layer", "linear") == "conv2d_nosub":
+            # espnet Conv2dNoSubsampling (`encoder/subsampling.py:85-125`):
+            # two 5×5 convs (stride 1) over (T, F), then Linear(odim·F → odim)
+            b, t, f = feats.shape
+            y = feats[..., None]
+            y = nn.relu(nn.Conv(size, (5, 5), padding=((2, 2), (2, 2)),
+                                name="embed_conv_0")(y))
+            y = nn.relu(nn.Conv(size, (5, 5), padding=((2, 2), (2, 2)),
+                                name="embed_conv_1")(y))
+            # torch flattens channel-major: (B, T, C·F)
+            y = y.transpose(0, 1, 3, 2).reshape(b, t, size * f)
+            x = nn.Dense(size, name="embed_out")(y)
+        else:
+            # espnet "linear" input layer: Linear → LayerNorm → Dropout
+            # (`conformer_encoder.py:102-108`)
+            x = nn.Dense(size, name="embed")(feats)
+            x = nn.LayerNorm(epsilon=1e-5, name="embed_norm")(x)  # plain torch LN
+            x = nn.Dropout(c.dropout_rate, deterministic=not train)(x)
+        # RelPositionalEncoding scales x by sqrt(d) (`embedding.py:152-166`)
+        x = x * math.sqrt(size)
         t = x.shape[1]
-        pos_emb = jnp.asarray(sinusoidal_rel_pos(t, size))[None]
+        pos_emb = jnp.asarray(legacy_rel_pos(t, size))[None]
         pad_mask = sequence_mask(lengths, t)[..., None]
         attn_mask = pad_mask[:, None, :, 0][:, :, None, :]  # (B,1,1,T)
         for i in range(c.num_blocks):
             x = ConformerBlock(size, c.attention_heads, c.linear_units,
                                c.dropout_rate, c.cnn_kernel,
                                name=f"block_{i}")(x, pos_emb, pad_mask, attn_mask, train)
+        x = nn.LayerNorm(epsilon=1e-12, name="after_norm")(x)
         return x * pad_mask
 
 
@@ -203,8 +241,8 @@ class PPGModel(nn.Module):
     @nn.compact
     def __call__(self, speech, speech_lengths, train: bool = False):
         c = self.cfg
-        feats = logmel_frontend(speech, c)
         feat_lengths = speech_lengths // c.hop_size + 1
+        feats = logmel_frontend(speech, c, feat_lengths)
         feats = utterance_mvn(feats, feat_lengths, c.norm_means, c.norm_vars)
         return ConformerEncoder(c, name="encoder")(feats, feat_lengths, train)
 

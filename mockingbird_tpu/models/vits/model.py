@@ -179,11 +179,11 @@ class DurationPredictor(nn.Module):
             x = x + nn.Conv(c.hidden_channels, (1,), name="cond")(g)
         x = nn.Conv(self.filter_channels, (c.kernel_size,), padding="SAME",
                     name="conv_1")(x * x_mask)
-        x = nn.LayerNorm(name="norm_1")(nn.relu(x))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_1")(nn.relu(x))
         x = nn.Dropout(0.5, deterministic=not train)(x)
         x = nn.Conv(self.filter_channels, (c.kernel_size,), padding="SAME",
                     name="conv_2")(x * x_mask)
-        x = nn.LayerNorm(name="norm_2")(nn.relu(x))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_2")(nn.relu(x))
         x = nn.Dropout(0.5, deterministic=not train)(x)
         return nn.Conv(1, (1,), name="proj")(x * x_mask) * x_mask
 

@@ -52,11 +52,11 @@ class DDSConv(nn.Module):
             y = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=(dilation,),
                         feature_group_count=self.channels, padding="SAME",
                         name=f"convs_sep_{i}")(x * x_mask)
-            y = nn.LayerNorm(name=f"norm1_{i}")(y)
-            y = nn.gelu(y)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(y)
+            y = nn.gelu(y, approximate=False)
             y = nn.Conv(self.channels, (1,), name=f"convs_1x1_{i}")(y)
-            y = nn.LayerNorm(name=f"norm2_{i}")(y)
-            y = nn.gelu(y)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(y)
+            y = nn.gelu(y, approximate=False)
             y = nn.Dropout(self.p_dropout, deterministic=not train)(y)
             x = x + y
         return x * x_mask
@@ -76,11 +76,14 @@ class WN(nn.Module):
         h = self.hidden_channels
         output = jnp.zeros_like(x)
         if g is not None:
-            g_all = nn.WeightNorm(nn.Conv(2 * h * self.n_layers, (1,)), name="cond_layer")(g)
+            g_all = nn.WeightNorm(nn.Conv(2 * h * self.n_layers, (1,),
+                                          name="cond_layer_conv"),
+                                  name="cond_layer")(g)
         for i in range(self.n_layers):
             dilation = self.dilation_rate ** i
             x_in = nn.WeightNorm(nn.Conv(2 * h, (self.kernel_size,),
-                                         kernel_dilation=(dilation,), padding="SAME"),
+                                         kernel_dilation=(dilation,), padding="SAME",
+                                         name=f"in_layers_{i}_conv"),
                                  name=f"in_layers_{i}")(x)
             x_in = nn.Dropout(self.p_dropout, deterministic=not train)(x_in)
             if g is not None:
@@ -89,7 +92,9 @@ class WN(nn.Module):
                 g_l = jnp.zeros_like(x_in)
             acts = fused_add_tanh_sigmoid_multiply(x_in, g_l, h)
             out_ch = 2 * h if i < self.n_layers - 1 else h
-            res_skip = nn.WeightNorm(nn.Conv(out_ch, (1,)), name=f"res_skip_layers_{i}")(acts)
+            res_skip = nn.WeightNorm(nn.Conv(out_ch, (1,),
+                                             name=f"res_skip_layers_{i}_conv"),
+                                     name=f"res_skip_layers_{i}")(acts)
             if i < self.n_layers - 1:
                 x = (x + res_skip[..., :h]) * x_mask
                 output = output + res_skip[..., h:]
@@ -407,11 +412,11 @@ class TransformerEncoder(nn.Module):
                 self.hidden_channels, self.hidden_channels, self.n_heads,
                 self.p_dropout, self.window_size, name=f"attn_{i}")(x, attn_mask, train)
             y = nn.Dropout(self.p_dropout, deterministic=not train)(y)
-            x = nn.LayerNorm(name=f"norm1_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(x + y)
             y = FFN(self.filter_channels, self.hidden_channels, self.kernel_size,
                     self.p_dropout, name=f"ffn_{i}")(x, x_mask, train)
             y = nn.Dropout(self.p_dropout, deterministic=not train)(y)
-            x = nn.LayerNorm(name=f"norm2_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x + y)
         return x * x_mask
 
 

@@ -151,3 +151,168 @@ def test_tacotron_equivalence():
     finally:
         F.dropout = orig_dropout
         ref_mod.Decoder.zoneout = orig_zoneout
+
+
+def _tiny_vits_cfg(use_sdp=True):
+    from mockingbird_tpu.models.vits import vits_config
+    return vits_config().merge(dict(
+        n_vocab=40, spec_channels=33, inter_channels=16, hidden_channels=16,
+        filter_channels=24, n_heads=2, n_layers=2, kernel_size=3, p_dropout=0.0,
+        resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3, 5]],
+        upsample_rates=[4, 4], upsample_kernel_sizes=[8, 8],
+        upsample_initial_channel=32, n_speakers=4, gin_channels=8,
+        use_sdp=use_sdp, hop_size=16, segment_size=64))
+
+
+@pytest.mark.parametrize("use_sdp", [True, False])
+def test_vits_infer_equivalence(use_sdp):
+    """Full VITS inference path (TextEncoder → duration predictor reverse →
+    generate_path → flow reverse → decoder) matches the reference bit-for-bit
+    with converted weights at zero noise scales."""
+    from mockingbird_tpu.interop import (convert_vits, load_reference_vits,
+                                         state_dict_to_numpy)
+    from mockingbird_tpu.models.vits import Vits, init_vits
+
+    cfg = _tiny_vits_cfg(use_sdp)
+    tv = load_reference_vits(cfg).eval()
+    params = convert_vits(state_dict_to_numpy(tv.state_dict()), cfg)
+
+    rng = np.random.RandomState(0)
+    x = rng.randint(1, cfg.n_vocab, (2, 9)).astype(np.int64)
+    x_lengths = np.asarray([9, 6], np.int64)
+    # zero text past lengths like the collate does
+    x[1, 6:] = 0
+    sid = np.asarray([1, 3], np.int64)
+    emo = rng.randn(2, 1024).astype(np.float32)
+
+    with torch.no_grad():
+        o_t, attn_t, y_mask_t, _ = tv.infer(
+            torch.from_numpy(x), torch.from_numpy(x_lengths),
+            sid=torch.from_numpy(sid), emo=torch.from_numpy(emo),
+            noise_scale=0.0, length_scale=2.5, noise_scale_w=0.0)
+    t_y = o_t.shape[-1] // int(np.prod(cfg.upsample_rates))
+
+    model = Vits(cfg.freeze())
+    variables = {"params": jax.tree.map(jnp.asarray, params)}
+    o_f, attn_f, y_mask_f, y_lengths_f = model.apply(
+        variables, jnp.asarray(x, jnp.int32), jnp.asarray(x_lengths, jnp.int32),
+        sid=jnp.asarray(sid, jnp.int32), emo=jnp.asarray(emo),
+        noise_scale=0.0, length_scale=2.5, noise_scale_w=0.0, max_len=t_y,
+        key=jax.random.PRNGKey(0), method=Vits.infer)
+
+    np.testing.assert_allclose(np.asarray(attn_f), attn_t.numpy()[:, 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_f), o_t.numpy()[:, 0, :], atol=2e-4)
+
+
+def test_vits_posterior_flow_equivalence():
+    """enc_q stats and the forward flow match the reference (training path,
+    noise neutralised by feeding m_q through both flows)."""
+    from mockingbird_tpu.interop import (convert_vits, load_reference_vits,
+                                         state_dict_to_numpy)
+    from mockingbird_tpu.models.vits import Vits
+
+    cfg = _tiny_vits_cfg(True)
+    tv = load_reference_vits(cfg).eval()
+    params = convert_vits(state_dict_to_numpy(tv.state_dict()), cfg)
+    model = Vits(cfg.freeze())
+    variables = {"params": jax.tree.map(jnp.asarray, params)}
+
+    rng = np.random.RandomState(1)
+    y = rng.randn(2, 12, cfg.spec_channels).astype(np.float32)
+    y_lengths = np.asarray([12, 10], np.int64)
+    sid = np.asarray([0, 2], np.int64)
+
+    with torch.no_grad():
+        g_t = tv.emb_g(torch.from_numpy(sid)).unsqueeze(-1)
+        _, m_t, logs_t, mask_t = tv.enc_q(
+            torch.from_numpy(y.transpose(0, 2, 1)), torch.from_numpy(y_lengths), g=g_t)
+        z_p_t = tv.flow(m_t * mask_t, mask_t, g=g_t)
+
+    def run(mdl, y, y_lengths, sid):
+        g = mdl._speaker(sid)
+        z, m, logs, mask = mdl.enc_q(y, y_lengths, g=g, key=None, train=False)
+        z_p = mdl.flow(m * mask, mask, g=g, train=False)
+        return m, logs, z_p
+
+    m_f, logs_f, z_p_f = model.apply(
+        variables, jnp.asarray(y), jnp.asarray(y_lengths, jnp.int32),
+        jnp.asarray(sid, jnp.int32), method=run)
+    np.testing.assert_allclose(np.asarray(m_f), m_t.numpy().transpose(0, 2, 1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logs_f), logs_t.numpy().transpose(0, 2, 1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z_p_f), z_p_t.numpy().transpose(0, 2, 1), atol=1e-5)
+
+
+def test_fregan_generator_equivalence():
+    from mockingbird_tpu.interop import (convert_fregan_generator,
+                                         load_reference_fregan,
+                                         state_dict_to_numpy)
+    from mockingbird_tpu.models.vocoder.fregan import FreGanGenerator, fregan_config
+
+    cfg = fregan_config().merge(dict(
+        upsample_rates=[4, 4, 2], upsample_kernel_sizes=[8, 8, 4],
+        upsample_initial_channel=32, resblock_kernel_sizes=[3, 5],
+        resblock_dilation_sizes=[[1, 3, 5, 7], [1, 3, 5, 7]], top_k=2))
+    tg = load_reference_fregan(cfg).eval()
+    params = convert_fregan_generator(state_dict_to_numpy(tg.state_dict()), cfg)
+    gen = FreGanGenerator(cfg.freeze())
+    x = np.random.RandomState(0).randn(2, 11, 80).astype(np.float32)
+    with torch.no_grad():
+        yt = tg(torch.from_numpy(x.transpose(0, 2, 1))).numpy()[:, 0, :]
+    yf = np.asarray(gen.apply({"params": jax.tree.map(jnp.asarray, params)},
+                              jnp.asarray(x)))
+    np.testing.assert_allclose(yf, yt, atol=1e-5)
+
+
+@pytest.mark.parametrize("input_layer", ["linear", "conv2d_nosub"])
+def test_conformer_encoder_equivalence(input_layer):
+    """espnet-legacy ConformerEncoder (rel-pos attention with legacy shift,
+    macaron FF, conv module) matches the reference with converted weights."""
+    from mockingbird_tpu.interop import (convert_conformer_encoder,
+                                         load_reference_conformer,
+                                         state_dict_to_numpy)
+    from mockingbird_tpu.models.ppg.extractor import ConformerEncoder, ppg_config
+
+    cfg = ppg_config().merge(dict(
+        output_size=32, attention_heads=2, linear_units=48, num_blocks=2,
+        dropout_rate=0.0, cnn_kernel=7, num_mels=20, input_layer=input_layer))
+    tc = load_reference_conformer(cfg, input_layer).eval()
+    params, stats = convert_conformer_encoder(state_dict_to_numpy(tc.state_dict()),
+                                              cfg, prefix="")
+    model = ConformerEncoder(cfg.freeze())
+    rng = np.random.RandomState(0)
+    feats = rng.randn(2, 11, 20).astype(np.float32)
+    lengths = np.asarray([11, 11], np.int64)
+    with torch.no_grad():
+        yt, olens, _ = tc(torch.from_numpy(feats), torch.from_numpy(lengths))
+    variables = {"params": jax.tree.map(jnp.asarray, params),
+                 "batch_stats": jax.tree.map(jnp.asarray, stats)}
+    yf = np.asarray(model.apply(variables, jnp.asarray(feats),
+                                jnp.asarray(lengths, jnp.int32)))
+    np.testing.assert_allclose(yf, yt.numpy(), atol=2e-5)
+
+
+def test_conformer_encoder_equivalence_longer():
+    """Equivalence holds at other sequence lengths too (the legacy espnet
+    positional table is sliced per length — worth pinning)."""
+    from mockingbird_tpu.interop import (convert_conformer_encoder,
+                                         load_reference_conformer,
+                                         state_dict_to_numpy)
+    from mockingbird_tpu.models.ppg.extractor import ConformerEncoder, ppg_config
+
+    cfg = ppg_config().merge(dict(
+        output_size=32, attention_heads=2, linear_units=48, num_blocks=2,
+        dropout_rate=0.0, cnn_kernel=7, num_mels=20))
+    tc = load_reference_conformer(cfg).eval()
+    params, stats = convert_conformer_encoder(state_dict_to_numpy(tc.state_dict()),
+                                              cfg, prefix="")
+    model = ConformerEncoder(cfg.freeze())
+    rng = np.random.RandomState(3)
+    feats = rng.randn(1, 23, 20).astype(np.float32)
+    lengths_np = np.asarray([23], np.int64)
+    with torch.no_grad():
+        yt, _, _ = tc(torch.from_numpy(feats), torch.from_numpy(lengths_np))
+    variables = {"params": jax.tree.map(jnp.asarray, params),
+                 "batch_stats": jax.tree.map(jnp.asarray, stats)}
+    yf = np.asarray(model.apply(variables, jnp.asarray(feats),
+                                jnp.asarray(lengths_np, jnp.int32)))
+    np.testing.assert_allclose(yf, yt.numpy(), atol=2e-5)
