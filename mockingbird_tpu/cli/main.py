@@ -135,6 +135,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--vocoder", type=Path, default=None)
     sp.set_defaults(func=cmd_convert)
 
+    sp = sub.add_parser("import-checkpoint",
+                        help="convert a reference/community torch checkpoint "
+                             "into this framework's format")
+    sp.add_argument("--family", required=True,
+                    choices=["encoder", "tacotron", "wavernn", "hifigan",
+                             "fregan", "vits", "ppg_extractor", "ppg2mel"])
+    sp.add_argument("--torch-ckpt", type=Path, required=True)
+    sp.add_argument("--out", type=Path, required=True)
+    sp.add_argument("--config", type=Path, default=None,
+                    help="optional json config overriding the family defaults")
+    sp.set_defaults(func=cmd_import_checkpoint)
+
     sp = sub.add_parser("serve", help="HTTP serving (web.py)")
     sp.add_argument("--port", type=int, default=8080)
     sp.add_argument("--encoder", type=Path, default=None)
@@ -236,6 +248,13 @@ def cmd_convert(args):
     vc.set_reference(args.ref)
     vocoder = load_vocoder(args.vocoder) if args.vocoder else None
     vc.convert_files(args.sources, args.out_dir, vocoder)
+
+
+def cmd_import_checkpoint(args):
+    from ..config import Config
+    from ..interop.import_checkpoint import import_reference_checkpoint
+    cfg = Config.from_json(args.config) if args.config else None
+    import_reference_checkpoint(args.family, args.torch_ckpt, args.out, cfg)
 
 
 def cmd_serve(args):

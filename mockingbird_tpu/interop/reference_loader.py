@@ -159,3 +159,21 @@ def load_reference_conformer(cfg, input_layer: str = "linear"):
         no_subsample=True, macaron_style=True, pos_enc_layer_type="rel_pos",
         selfattention_layer_type="rel_selfattn", activation_type="swish",
         use_cnn_module=True, cnn_module_kernel=cfg.cnn_kernel)
+
+
+def load_reference_ppg2mel(cfg):
+    """Instantiate the reference MelDecoderMOLv2 (`ppg2mel/__init__.py:20`)."""
+    setup_reference_imports()
+    from models.ppg2mel import MelDecoderMOLv2 as TorchP2M  # type: ignore
+    return TorchP2M(
+        num_speakers=cfg.num_speakers, spk_embed_dim=cfg.spk_embed_dim,
+        bottle_neck_feature_dim=cfg.bottle_neck_feature_dim,
+        encoder_dim=cfg.encoder_dim,
+        encoder_downsample_rates=list(cfg.encoder_downsample_rates),
+        attention_rnn_dim=cfg.attention_rnn_dim,
+        decoder_rnn_dim=cfg.decoder_rnn_dim,
+        num_decoder_rnn_layer=cfg.num_decoder_rnn_layer,
+        concat_context_to_last=cfg.concat_context_to_last,
+        prenet_dims=list(cfg.prenet_dims),
+        num_mixtures=cfg.num_mixtures,
+        frames_per_step=cfg.frames_per_step)

@@ -625,3 +625,71 @@ def convert_conformer_encoder(sd: Dict[str, np.ndarray], cfg,
         n += 1
     p["after_norm"] = _ln_entry(sd, f"{pf}after_norm")
     return p, stats
+
+
+# ---------------------------------------------------------------------------
+# PPG2Mel MelDecoderMOLv2 (`models/ppg2mel/__init__.py:20-209`,
+# `rnn_decoder_mol.py`, `utils/mol_attention.py`, `utils/cnn_postnet.py`)
+# ---------------------------------------------------------------------------
+
+def convert_ppg2mel(sd: Dict[str, np.ndarray], cfg) -> tuple:
+    """torch MelDecoderMOLv2 state_dict → (params, batch_stats) for
+    `models.ppg.ppg2mel.MelDecoderMOLv2`."""
+    def downstack(prefix: str) -> Dict:
+        # torch Sequential indices: 0 conv1x1(no bias), 3/6 stride convs
+        t: Dict = {"conv_in": {"kernel": conv1d(sd[f"{prefix}.0.weight"])}}
+        for li, ti in enumerate((3, 6)):
+            t[f"down_{li}"] = {"kernel": conv1d(sd[f"{prefix}.{ti}.weight"]),
+                               "bias": sd[f"{prefix}.{ti}.bias"]}
+        return t
+
+    p: Dict = {
+        "bnf_prenet": downstack("bnf_prenet"),
+        "pitch_convs": downstack("pitch_convs"),
+        "reduce_proj": {"kernel": dense(sd["reduce_proj.weight"]),
+                        "bias": sd["reduce_proj.bias"]},
+    }
+
+    dec: Dict = {"prenet": {}}
+    for i in range(len(cfg.prenet_dims)):
+        dec["prenet"][f"fc{i}"] = {
+            "kernel": dense(sd[f"decoder.prenet.layers.{i}.linear_layer.weight"])}
+    dec["attention_rnn"] = torch_lstm_to_flax(
+        sd["decoder.attention_rnn.weight_ih"], sd["decoder.attention_rnn.weight_hh"],
+        sd["decoder.attention_rnn.bias_ih"], sd["decoder.attention_rnn.bias_hh"],
+        cfg.attention_rnn_dim)
+    dec["attention_layer"] = {
+        "query_fc1": {"kernel": dense(sd["decoder.attention_layer.query_layer.0.weight"]),
+                      "bias": sd["decoder.attention_layer.query_layer.0.bias"]},
+        "query_fc2": {"kernel": dense(sd["decoder.attention_layer.query_layer.2.weight"]),
+                      "bias": sd["decoder.attention_layer.query_layer.2.bias"]},
+    }
+    for i in range(cfg.num_decoder_rnn_layer):
+        dec[f"decoder_rnn_{i}"] = torch_lstm_to_flax(
+            sd[f"decoder.decoder_rnn_layers.{i}.weight_ih"],
+            sd[f"decoder.decoder_rnn_layers.{i}.weight_hh"],
+            sd[f"decoder.decoder_rnn_layers.{i}.bias_ih"],
+            sd[f"decoder.decoder_rnn_layers.{i}.bias_hh"],
+            cfg.decoder_rnn_dim)
+    dec["linear_projection"] = {
+        "kernel": dense(sd["decoder.linear_projection.linear_layer.weight"]),
+        "bias": sd["decoder.linear_projection.linear_layer.bias"]}
+    dec["stop_layer"] = {
+        "kernel": dense(sd["decoder.stop_layer.linear_layer.weight"]),
+        "bias": sd["decoder.stop_layer.linear_layer.bias"]}
+    p["decoder"] = dec
+
+    post: Dict = {}
+    post_stats: Dict = {}
+    n_layers = 5
+    for i in range(n_layers):
+        conv = {"kernel": conv1d(sd[f"postnet.convolutions.{i}.0.conv.weight"]),
+                "bias": sd[f"postnet.convolutions.{i}.0.conv.bias"]}
+        bn_p, bn_s = batchnorm(sd, f"postnet.convolutions.{i}.1")
+        cname = f"conv_{i}" if i < n_layers - 1 else "conv_out"
+        bname = f"bn_{i}" if i < n_layers - 1 else "bn_out"
+        post[cname] = conv
+        post[bname] = bn_p
+        post_stats[bname] = bn_s
+    p["postnet"] = post
+    return p, {"postnet": post_stats}

@@ -43,14 +43,18 @@ def ppg2mel_config() -> Config:
 
 
 class DecoderPrenet(nn.Module):
-    """Dense+relu+always-on dropout stack (`rnn_decoder_mol.py:10-22`)."""
+    """Bias-free Dense+relu+always-on dropout stack
+    (`rnn_decoder_mol.py:10-22`; Linear bias=False at `:15`, dropout
+    training=True hardcoded at `:20` — kept, gated only for equivalence
+    tests via always_dropout=False)."""
     sizes: tuple
+    always_dropout: bool = True
 
     @nn.compact
     def __call__(self, x):
         for i, s in enumerate(self.sizes):
-            x = nn.relu(nn.Dense(s, name=f"fc{i}")(x))
-            x = nn.Dropout(0.5, deterministic=False)(x)
+            x = nn.relu(nn.Dense(s, use_bias=False, name=f"fc{i}")(x))
+            x = nn.Dropout(0.5, deterministic=not self.always_dropout)(x)
         return x
 
 
@@ -104,7 +108,9 @@ class MolDecoderCell(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.prenet = DecoderPrenet(tuple(c.prenet_dims), name="prenet")
+        self.prenet = DecoderPrenet(tuple(c.prenet_dims),
+                                    always_dropout=getattr(c, "prenet_always_dropout", True),
+                                    name="prenet")
         self.attention_rnn = nn.OptimizedLSTMCell(c.attention_rnn_dim, name="attention_rnn")
         down = int(np.prod(c.encoder_downsample_rates))
         self.attention_layer = MOLAttention(c.num_mixtures, c.frames_per_step / down,

@@ -316,3 +316,109 @@ def test_conformer_encoder_equivalence_longer():
     yf = np.asarray(model.apply(variables, jnp.asarray(feats),
                                 jnp.asarray(lengths_np, jnp.int32)))
     np.testing.assert_allclose(yf, yt.numpy(), atol=2e-5)
+
+
+def test_ppg2mel_equivalence():
+    """MelDecoderMOLv2 teacher-forced forward (downsample prenets, MOL
+    attention LSTM decoder, postnet) matches the reference with converted
+    weights (dropout disabled on both sides, BN eval)."""
+    import torch.nn.functional as F
+    from mockingbird_tpu.interop import (convert_ppg2mel, load_reference_ppg2mel,
+                                         state_dict_to_numpy)
+    from mockingbird_tpu.models.ppg.ppg2mel import MelDecoderMOLv2, ppg2mel_config
+
+    cfg = ppg2mel_config().merge(dict(
+        spk_embed_dim=16, bottle_neck_feature_dim=24, encoder_dim=32,
+        attention_rnn_dim=40, decoder_rnn_dim=40, prenet_dims=[24, 12],
+        num_mixtures=3, prenet_always_dropout=False))
+    tm = load_reference_ppg2mel(cfg)
+    tm.train()
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            m.eval()
+    orig_dropout = F.dropout
+    # the reference's get_mask_from_lengths hardcodes torch.cuda.LongTensor
+    # (`ppg2mel/utils/vc_utils.py:19`) — patch a CPU version in
+    import models.ppg2mel.rnn_decoder_mol as ref_dec
+    import models.ppg2mel as ref_p2m
+
+    def _cpu_mask(lengths, max_len=None):
+        if max_len is None:
+            max_len = int(torch.max(lengths).item())
+        ids = torch.arange(0, max_len)
+        return (ids < lengths.unsqueeze(1)).bool()
+
+    orig_mask_dec = ref_dec.get_mask_from_lengths
+    orig_mask_p2m = ref_p2m.get_mask_from_lengths
+    try:
+        F.dropout = lambda x, p=0.5, training=False, inplace=False: x
+        ref_dec.get_mask_from_lengths = _cpu_mask
+        ref_p2m.get_mask_from_lengths = _cpu_mask
+        params, stats = convert_ppg2mel(state_dict_to_numpy(tm.state_dict()), cfg)
+        model = MelDecoderMOLv2(cfg.freeze())
+
+        rng = np.random.RandomState(0)
+        b, t_ppg, t_mel = 2, 16, 8
+        bnf = rng.randn(b, t_ppg, 24).astype(np.float32)
+        fl = np.asarray([16, 12], np.int64)
+        mel = rng.randn(b, t_mel, 80).astype(np.float32)
+        sl = np.asarray([8, 8], np.int64)
+        lf0 = rng.randn(b, t_ppg, 2).astype(np.float32)
+        spk = rng.randn(b, 16).astype(np.float32)
+
+        with torch.no_grad():
+            mel_t, post_t, stop_t, attn_t = tm(
+                torch.from_numpy(bnf), torch.from_numpy(fl),
+                torch.from_numpy(mel), torch.from_numpy(sl),
+                torch.from_numpy(lf0), spembs=torch.from_numpy(spk),
+                output_att_ws=True)
+
+        variables = {"params": jax.tree.map(jnp.asarray, params),
+                     "batch_stats": jax.tree.map(jnp.asarray, stats)}
+        out = model.apply(variables, jnp.asarray(bnf), jnp.asarray(fl, jnp.int32),
+                          jnp.asarray(mel), jnp.asarray(sl, jnp.int32),
+                          jnp.asarray(lf0), jnp.asarray(spk), False,
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+        mel_f, post_f, stop_f, attn_f = out
+        np.testing.assert_allclose(np.asarray(mel_f), mel_t.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(post_f), post_t.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(attn_f), attn_t.numpy(), atol=2e-5)
+        r = cfg.frames_per_step
+        np.testing.assert_allclose(np.asarray(stop_f)[:, ::r],
+                                   stop_t.numpy().reshape(2, -1), atol=2e-5)
+    finally:
+        F.dropout = orig_dropout
+        ref_dec.get_mask_from_lengths = orig_mask_dec
+        ref_p2m.get_mask_from_lengths = orig_mask_p2m
+
+
+def test_import_checkpoint_roundtrip(tmp_path):
+    """`import-checkpoint` converts a reference-format torch file and our
+    inference wrappers load the result (full user path for community ckpts)."""
+    from mockingbird_tpu.interop import (convert_hifigan_generator,
+                                         load_reference_hifigan_generator,
+                                         state_dict_to_numpy)
+    from mockingbird_tpu.interop.import_checkpoint import import_reference_checkpoint
+    from mockingbird_tpu.models.vocoder import hifigan_config
+    from mockingbird_tpu.models.vocoder.inference import GanVocoder
+
+    cfg = Config(hifigan_config()).merge(dict(
+        upsample_rates=[5, 4], upsample_kernel_sizes=[10, 8],
+        upsample_initial_channel=32, resblock_kernel_sizes=[3],
+        resblock_dilation_sizes=[[1, 3, 5]], hop_size=20, segment_size=400))
+    tg = load_reference_hifigan_generator(cfg).eval()
+    # write the reference's on-disk container (g_* file: {"generator": sd})
+    torch_path = tmp_path / "g_00010000"
+    torch.save({"generator": tg.state_dict()}, torch_path)
+
+    out = import_reference_checkpoint("hifigan", torch_path,
+                                      tmp_path / "imported", cfg, verbose=False)
+    voc = GanVocoder("hifigan", out, cfg, verbose=False, half=False)
+    x = np.random.RandomState(0).randn(13, 80).astype(np.float32)
+    wav = voc.infer_waveform(x)
+    with torch.no_grad():
+        yt = tg(torch.from_numpy(x.T[None])).numpy()[0, 0]
+    # the wrapper bucket-pads the mel, so conv edges differ at the very tail;
+    # the interior proves the imported weights are the same
+    n = (x.shape[0] - 5) * 20
+    np.testing.assert_allclose(wav[:n], yt[:n], atol=1e-3)
