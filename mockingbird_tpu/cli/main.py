@@ -147,11 +147,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="optional json config overriding the family defaults")
     sp.set_defaults(func=cmd_import_checkpoint)
 
-    sp = sub.add_parser("serve", help="HTTP serving (web.py)")
+    sp = sub.add_parser("serve", help="HTTP toolbox console + API (web.py / demo_toolbox.py)")
     sp.add_argument("--port", type=int, default=8080)
     sp.add_argument("--encoder", type=Path, default=None)
     sp.add_argument("--synth", type=Path, default=None)
     sp.add_argument("--vocoder", type=Path, default=None)
+    sp.add_argument("--datasets_root", type=Path, default=None,
+                    help="root for the dataset browser (demo_toolbox.py -d)")
+    sp.add_argument("--models_dir", type=Path, default=Path("saved_models"))
+    sp.add_argument("--seed", type=int, default=None)
     sp.set_defaults(func=cmd_serve)
 
     return p
@@ -260,7 +264,9 @@ def cmd_import_checkpoint(args):
 def cmd_serve(args):
     from ..serve.http import serve
     serve(port=args.port, encoder_fpath=args.encoder,
-          synthesizer_fpath=args.synth, vocoder_fpath=args.vocoder)
+          synthesizer_fpath=args.synth, vocoder_fpath=args.vocoder,
+          datasets_root=args.datasets_root, models_dir=args.models_dir,
+          seed=args.seed)
 
 
 def main(argv=None):

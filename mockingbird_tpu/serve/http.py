@@ -1,18 +1,26 @@
 """HTTP serving layer (stdlib-only).
 
-Functional replacement for the reference's Streamlit mkgui
-(`control/mkgui/base/ui/streamlit_ui.py:847-861` — 5 modes: synthesize, VC,
-preprocess, train, train-VC) as a JSON/wav HTTP API plus a minimal HTML
-console. No Streamlit/gradio dependency.
+Functional replacement for BOTH reference control surfaces:
+- the Streamlit mkgui (`control/mkgui/base/ui/streamlit_ui.py:847-861` —
+  5 modes: synthesize, VC, preprocess, train, train-VC) as a JSON/wav API;
+- the PyQt5 Toolbox (`control/toolbox/__init__.py:50-477`) as a browser
+  console (`serve/console.py`) over the same API, with session state in
+  `serve/toolbox.py`.
 
 Endpoints:
-  GET  /                → HTML console
-  GET  /api/health      → {"status": "ok"}
-  POST /api/synthesize  → multipart/form-data {text, ref (wav)} → audio/wav
-  POST /api/convert     → multipart {ref (wav), src (wav)} → audio/wav
-  POST /api/preprocess  → {"datasets_root", "dataset"} → job started
-  POST /api/train       → {"kind", "syn_dir", "run_id", ...} → job started
-  GET  /api/jobs        → background job states
+  GET  /                 → HTML toolbox console
+  GET  /api/health       → {"status": "ok"}
+  GET  /api/datasets     → dataset browser (?dataset=&speaker= | ?random=1)
+  GET  /api/audio?path=  → stream an utterance wav from datasets_root
+  GET  /api/models       → checkpoint listing per family
+  POST /api/embed        → multipart {ref, name} → embed + session projection
+  POST /api/synthesize_mel → JSON {text, utterance, seed, style_idx} → mel
+  POST /api/vocode       → JSON {vocoder} → audio/wav of current spec
+  POST /api/synthesize   → multipart {text, ref} → audio/wav  (one-shot)
+  POST /api/convert      → multipart {ref, src[, vocoder]} → audio/wav
+  POST /api/preprocess   → {"datasets_root", "dataset"} → job started
+  POST /api/train        → {"kind", "syn_dir", "run_id", ...} → job started
+  GET  /api/jobs         → background job states
 """
 from __future__ import annotations
 
@@ -20,29 +28,15 @@ import io
 import json
 import threading
 import traceback
+import urllib.parse
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
 import numpy as np
 
-_INDEX_HTML = """<!doctype html>
-<html><head><title>mockingbird_tpu</title></head>
-<body style="font-family:sans-serif;max-width:640px;margin:2em auto">
-<h2>mockingbird_tpu</h2>
-<h3>Clone a voice</h3>
-<form action="/api/synthesize" method="post" enctype="multipart/form-data">
-  <p>Text: <input name="text" size="50" value="ni3 hao3 shi4 jie4"></p>
-  <p>Reference wav: <input type="file" name="ref"></p>
-  <p><button>Synthesize</button></p>
-</form>
-<h3>Convert a voice</h3>
-<form action="/api/convert" method="post" enctype="multipart/form-data">
-  <p>Target-voice wav: <input type="file" name="ref"></p>
-  <p>Source wav: <input type="file" name="src"></p>
-  <p><button>Convert</button></p>
-</form>
-</body></html>"""
+from .console import INDEX_HTML
+from .toolbox import WebToolbox, read_audio
 
 
 class _Jobs:
@@ -97,73 +91,107 @@ def _parse_multipart(handler) -> dict:
     return fields
 
 
-def make_handler(pipeline_factory, vc_factory, jobs: _Jobs):
-    state = {"pipeline": None, "vc": None}
-
-    def pipeline():
-        if state["pipeline"] is None:
-            state["pipeline"] = pipeline_factory()
-        return state["pipeline"]
-
-    def vc():
-        if state["vc"] is None:
-            state["vc"] = vc_factory()
-        return state["vc"]
+def make_handler(toolbox: WebToolbox, jobs: _Jobs):
+    tb = toolbox
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             pass
 
-        def _send(self, code, body, ctype="application/json"):
+        def _send(self, code, body, ctype="application/json", headers=None):
             data = body if isinstance(body, bytes) else json.dumps(body).encode()
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(data)
 
+        def _json_body(self) -> dict:
+            length = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(length) or b"{}")
+
         def do_GET(self):
-            if self.path == "/":
-                self._send(200, _INDEX_HTML.encode(), "text/html")
-            elif self.path == "/api/health":
-                self._send(200, {"status": "ok"})
-            elif self.path == "/api/jobs":
-                self._send(200, jobs.snapshot())
-            else:
-                self._send(404, {"error": "not found"})
+            try:
+                url = urllib.parse.urlparse(self.path)
+                q = dict(urllib.parse.parse_qsl(url.query))
+                if url.path == "/":
+                    self._send(200, INDEX_HTML.encode(), "text/html")
+                elif url.path == "/api/health":
+                    self._send(200, {"status": "ok"})
+                elif url.path == "/api/jobs":
+                    self._send(200, jobs.snapshot())
+                elif url.path == "/api/datasets":
+                    if q.get("random"):
+                        self._send(200, tb.random_utterance())
+                    else:
+                        self._send(200, tb.browse(q.get("dataset"), q.get("speaker")))
+                elif url.path == "/api/audio":
+                    p = tb.audio_path(q["path"])
+                    if p.suffix.lower() == ".wav":
+                        self._send(200, p.read_bytes(), "audio/wav")
+                    else:
+                        wav = read_audio(p, tb.sample_rate)
+                        self._send(200, _wav_bytes(wav, tb.sample_rate), "audio/wav")
+                elif url.path == "/api/models":
+                    self._send(200, tb.list_models())
+                else:
+                    self._send(404, {"error": "not found"})
+            except FileNotFoundError as e:
+                self._send(404, {"error": str(e)})
+            except Exception as e:
+                traceback.print_exc()
+                self._send(500, {"error": str(e)})
 
         def do_POST(self):
             try:
-                if self.path == "/api/synthesize":
+                if self.path == "/api/embed":
+                    fields = _parse_multipart(self)
+                    if "ref" in fields:
+                        wav = read_audio(fields["ref"], tb.sample_rate)
+                    elif "path" in fields:
+                        wav = read_audio(tb.audio_path(fields["path"]), tb.sample_rate)
+                    else:
+                        return self._send(400, {"error": "need ref wav or path"})
+                    name = fields.get("name") or "utt"
+                    self._send(200, tb.embed_utterance(name, wav))
+                elif self.path == "/api/synthesize_mel":
+                    req = self._json_body()
+                    res = tb.synthesize(
+                        req.get("text", ""), req.get("utterance"),
+                        seed=req.get("seed"), style_idx=int(req.get("style_idx", 0)),
+                        steps=int(req.get("steps", 1000)),
+                        min_stop_token=int(req.get("min_stop_token", 5)))
+                    self._send(200, res)
+                elif self.path == "/api/vocode":
+                    req = self._json_body()
+                    res = tb.vocode(req.get("vocoder", "hifigan"))
+                    self._send(200, _wav_bytes(tb.current_wav, tb.sample_rate),
+                               "audio/wav", {"X-RTF": f"{res['rtf']:.1f}"})
+                elif self.path == "/api/synthesize":
                     fields = _parse_multipart(self)
                     text = fields.get("text", "")
                     ref = fields.get("ref")
                     if not text or ref is None:
                         return self._send(400, {"error": "need text + ref wav"})
-                    from ..dsp.audio import load_wav
-                    import tempfile
-                    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                        f.write(ref)
-                        f.flush()
-                        wav = pipeline().clone_voice(text, f.name)[0]
-                    self._send(200, _wav_bytes(wav, 16000), "audio/wav")
+                    wav = read_audio(ref, tb.sample_rate)
+                    tb.embed_utterance("api_ref", wav)
+                    tb.synthesize(text, "api_ref",
+                                  seed=int(fields["seed"]) if fields.get("seed") else None,
+                                  style_idx=int(fields.get("style_idx", 0)))
+                    res = tb.vocode(fields.get("vocoder", "hifigan"))
+                    self._send(200, _wav_bytes(tb.current_wav, tb.sample_rate),
+                               "audio/wav", {"X-RTF": f"{res['rtf']:.1f}"})
                 elif self.path == "/api/convert":
                     fields = _parse_multipart(self)
-                    import tempfile
-                    with tempfile.NamedTemporaryFile(suffix=".wav") as fr, \
-                            tempfile.NamedTemporaryFile(suffix=".wav") as fs:
-                        fr.write(fields["ref"]); fr.flush()
-                        fs.write(fields["src"]); fs.flush()
-                        conv = vc()
-                        conv.set_reference(fr.name)
-                        from ..dsp import load_wav as _lw
-                        src_wav, _ = _lw(fs.name, target_sr=16000)
-                        mel, rtf = conv.convert_wav(src_wav)
-                    wav = pipeline().vocoder.infer_waveform(mel.T)
-                    self._send(200, _wav_bytes(wav, 16000), "audio/wav")
+                    ref = read_audio(fields["ref"], tb.sample_rate)
+                    src = read_audio(fields["src"], tb.sample_rate)
+                    res = tb.convert(ref, src, fields.get("vocoder", "hifigan"))
+                    self._send(200, _wav_bytes(tb.current_wav, tb.sample_rate),
+                               "audio/wav", {"X-RTF": f"{res['rtf']:.2f}"})
                 elif self.path == "/api/preprocess":
-                    length = int(self.headers.get("Content-Length", 0))
-                    req = json.loads(self.rfile.read(length) or b"{}")
+                    req = self._json_body()
                     from ..models.tacotron.preprocess import preprocess_dataset
                     root = Path(req["datasets_root"])
                     jobs.start("preprocess", preprocess_dataset, root,
@@ -171,8 +199,7 @@ def make_handler(pipeline_factory, vc_factory, jobs: _Jobs):
                                dataset=req.get("dataset", "aidatatang_200zh"))
                     self._send(200, {"job": "preprocess", "state": "running"})
                 elif self.path == "/api/train":
-                    length = int(self.headers.get("Content-Length", 0))
-                    req = json.loads(self.rfile.read(length) or b"{}")
+                    req = self._json_body()
                     kind = req.get("kind", "synth")
                     if kind == "synth":
                         from ..models.tacotron.train import train as fn
@@ -188,6 +215,8 @@ def make_handler(pipeline_factory, vc_factory, jobs: _Jobs):
                     self._send(200, {"job": f"train-{kind}", "state": "running"})
                 else:
                     self._send(404, {"error": "not found"})
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
             except Exception as e:
                 traceback.print_exc()
                 self._send(500, {"error": str(e)})
@@ -196,15 +225,19 @@ def make_handler(pipeline_factory, vc_factory, jobs: _Jobs):
 
 
 def serve(port: int = 8080, encoder_fpath=None, synthesizer_fpath=None,
-          vocoder_fpath=None, block: bool = True):
+          vocoder_fpath=None, datasets_root=None, models_dir=None,
+          seed=None, block: bool = True, toolbox: WebToolbox = None):
     from ..pipeline import VoiceCloningPipeline, make_voice_converter
     jobs = _Jobs()
-    handler = make_handler(
-        lambda: VoiceCloningPipeline(encoder_fpath, synthesizer_fpath, vocoder_fpath,
-                                     verbose=False),
-        lambda: make_voice_converter(verbose=False), jobs)
+    if toolbox is None:
+        toolbox = WebToolbox(
+            datasets_root=datasets_root, models_dir=models_dir, seed=seed,
+            pipeline_factory=lambda: VoiceCloningPipeline(
+                encoder_fpath, synthesizer_fpath, vocoder_fpath, verbose=False),
+            vc_factory=lambda: make_voice_converter(verbose=False))
+    handler = make_handler(toolbox, jobs)
     server = ThreadingHTTPServer(("0.0.0.0", port), handler)
-    print(f"Serving on http://0.0.0.0:{port}")
+    print(f"Serving on http://0.0.0.0:{server.server_address[1]}")
     if block:
         server.serve_forever()
     else:

@@ -1,0 +1,215 @@
+"""Web-toolbox HTTP API tests (dataset browser, embed, synth→vocode, VC).
+
+Covers the headless replacement for the reference's PyQt5 Toolbox
+(`control/toolbox/__init__.py:50-477`) and Streamlit mkgui. Model-heavy
+members are faked through the WebToolbox factories so these tests exercise
+routing/session logic, not compilation.
+"""
+import io
+import json
+import urllib.request
+import wave
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mockingbird_tpu.serve.http import serve
+from mockingbird_tpu.serve.toolbox import WebToolbox, read_audio
+
+
+def _write_wav(path: Path, seconds=0.5, sr=16000, freq=220.0):
+    t = np.arange(int(sr * seconds)) / sr
+    wav = (0.4 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(wav.tobytes())
+
+
+class _FakeEncoder:
+    def preprocess_wav(self, wav, sr=None):
+        return np.asarray(wav)
+
+    def embed_utterance(self, wav):
+        rng = np.random.default_rng(int(abs(float(np.sum(wav))) * 1e3) % 2**31)
+        e = rng.standard_normal(256).astype(np.float32)
+        return e / np.linalg.norm(e)
+
+
+class _FakeSynth:
+    seed = 0
+
+    def synthesize_spectrograms(self, texts, embeds, style_idx=0, steps=1000,
+                                min_stop_token=5, **kw):
+        return [np.random.default_rng(self.seed).uniform(-4, 4, (80, 120)).astype(np.float32)
+                for _ in texts]
+
+    def griffin_lim(self, mel):
+        return np.zeros(mel.shape[1] * 256, np.float32)
+
+
+class _FakePipeline:
+    def __init__(self):
+        self.encoder = _FakeEncoder()
+        self.synthesizer = _FakeSynth()
+
+
+class _FakeVocoder:
+    def infer_waveform(self, mel):
+        return np.random.default_rng(0).uniform(-1, 1, mel.shape[1] * 256).astype(np.float32)
+
+
+class _FakeVC:
+    def set_reference(self, path):
+        pass
+
+    def convert_wav(self, wav):
+        return np.zeros((60, 80), np.float32), 0.05
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("datasets")
+    _write_wav(root / "LJSpeech-1.1" / "wavs" / "LJ001-0001.wav")
+    _write_wav(root / "LJSpeech-1.1" / "wavs" / "LJ001-0002.wav", freq=440)
+    models = tmp_path_factory.mktemp("models")
+    for fam in ("default/encoder", "default/synthesizer", "default/vocoder_hifigan"):
+        d = models / fam / "checkpoints"
+        d.mkdir(parents=True)
+        (models / fam / "config.json").write_text("{}")
+    tb = WebToolbox(datasets_root=root, models_dir=models,
+                    pipeline_factory=_FakePipeline, vc_factory=_FakeVC,
+                    vocoder_factory=lambda name: _FakeVocoder(), seed=0)
+    srv = serve(port=0, block=False, toolbox=tb)
+    port = srv.server_address[1]
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        ct = r.headers.get("Content-Type", "")
+        body = r.read()
+        return (json.loads(body) if "json" in ct else body), dict(r.headers)
+
+
+def _post_json(url, payload):
+    req = urllib.request.Request(url, data=json.dumps(payload).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        ct = r.headers.get("Content-Type", "")
+        body = r.read()
+        return (json.loads(body) if "json" in ct else body), dict(r.headers)
+
+
+def _post_multipart(url, fields):
+    boundary = "xBOUNDARYx"
+    parts = []
+    for name, (fname, payload) in fields.items():
+        head = f'Content-Disposition: form-data; name="{name}"'
+        if fname:
+            head += f'; filename="{fname}"'
+        if isinstance(payload, str):
+            payload = payload.encode()
+        parts.append(f"--{boundary}\r\n{head}\r\n\r\n".encode() + payload + b"\r\n")
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    req = urllib.request.Request(url, data=body, headers={
+        "Content-Type": f"multipart/form-data; boundary={boundary}"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        ct = r.headers.get("Content-Type", "")
+        data = r.read()
+        return (json.loads(data) if "json" in ct else data), dict(r.headers)
+
+
+def _wav_payload(freq=220.0):
+    buf = io.BytesIO()
+    t = np.arange(8000) / 16000
+    pcm = (0.4 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_console_page(server):
+    body, _ = _get(server + "/")
+    assert b"toolbox" in body and b"/api/synthesize_mel" in body
+
+
+def test_dataset_browser(server):
+    listing, _ = _get(server + "/api/datasets")
+    assert "LJSpeech-1.1" in listing["datasets"]
+    l2, _ = _get(server + "/api/datasets?dataset=LJSpeech-1.1")
+    assert "wavs" in l2["speakers"]
+    l3, _ = _get(server + "/api/datasets?dataset=LJSpeech-1.1&speaker=wavs")
+    assert any(u.endswith("LJ001-0001.wav") for u in l3["utterances"])
+    rnd, _ = _get(server + "/api/datasets?random=1")
+    assert rnd["dataset"] == "LJSpeech-1.1" and rnd["utterance"].endswith(".wav")
+
+
+def test_audio_fetch_and_traversal_guard(server):
+    body, hdrs = _get(server + "/api/audio?path=LJSpeech-1.1/wavs/LJ001-0001.wav")
+    assert hdrs["Content-Type"] == "audio/wav" and body[:4] == b"RIFF"
+    with pytest.raises(urllib.error.HTTPError):
+        _get(server + "/api/audio?path=../../etc/passwd")
+
+
+def test_embed_and_projection(server):
+    r1, _ = _post_multipart(server + "/api/embed",
+                            {"ref": ("a.wav", _wav_payload(220)), "name": (None, "utt_a")})
+    assert len(r1["embed"]) == 256
+    r2, _ = _post_multipart(server + "/api/embed",
+                            {"ref": ("b.wav", _wav_payload(440)), "name": (None, "utt_b")})
+    assert set(r2["names"]) >= {"utt_a", "utt_b"}
+    assert len(r2["projection"]) == len(r2["names"])
+
+
+def test_synthesize_mel_then_vocode(server):
+    res, _ = _post_json(server + "/api/synthesize_mel",
+                        {"text": "ni3 hao3", "utterance": "utt_a", "seed": 7})
+    assert res["mel_shape"][0] == 80 and res["seconds"] > 0
+    assert len(res["mel"]) == 80  # canvas preview rows
+    wav, hdrs = _post_json(server + "/api/vocode", {"vocoder": "hifigan"})
+    assert wav[:4] == b"RIFF" and float(hdrs["X-RTF"]) > 0
+
+
+def test_vocoder_hot_swap_and_griffinlim(server):
+    for name in ("fregan", "wavernn", "griffinlim"):
+        wav, _ = _post_json(server + "/api/vocode", {"vocoder": name})
+        assert wav[:4] == b"RIFF"
+
+
+def test_one_shot_synthesize(server):
+    wav, hdrs = _post_multipart(server + "/api/synthesize", {
+        "text": (None, "ni3 hao3"), "ref": ("r.wav", _wav_payload())})
+    assert wav[:4] == b"RIFF" and "X-RTF" in hdrs
+
+
+def test_convert_endpoint(server):
+    wav, hdrs = _post_multipart(server + "/api/convert", {
+        "ref": ("r.wav", _wav_payload(220)), "src": ("s.wav", _wav_payload(330))})
+    assert wav[:4] == b"RIFF" and "X-RTF" in hdrs
+
+
+def test_models_listing(server):
+    res, _ = _get(server + "/api/models")
+    assert res["encoder"] and res["synthesizer"] and res["vocoder"]
+
+
+def test_synthesize_mel_without_embed_is_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_json(server + "/api/synthesize_mel",
+                   {"text": "x", "utterance": "nope"})
+    assert e.value.code == 400
+
+
+def test_read_audio_bytes_roundtrip():
+    wav = read_audio(_wav_payload(220), 16000)
+    assert wav.dtype == np.float32 and 7900 < len(wav) <= 8000 + 1
+    spec = np.abs(np.fft.rfft(wav))
+    assert abs(np.argmax(spec) * 16000 / len(wav) - 220) < 5
