@@ -147,6 +147,53 @@ def build_parser() -> argparse.ArgumentParser:
                     help="optional json config overriding the family defaults")
     sp.set_defaults(func=cmd_import_checkpoint)
 
+    sp = sub.add_parser("download-datasets",
+                        help="fetch + verify + extract training corpora "
+                             "(datasets_download/download.sh + extract.sh)")
+    sp.add_argument("datasets_root", type=Path)
+    sp.add_argument("--datasets", nargs="*", default=None,
+                    help="subset of corpus names (default: all)")
+    sp.add_argument("--mirror", default="default",
+                    help="default|cn|eu|us or a custom base URL")
+    sp.add_argument("--no-extract", action="store_true",
+                    help="download + verify only")
+    sp.add_argument("--list", action="store_true",
+                    help="print the manifest and exit")
+    sp.set_defaults(func=cmd_download_datasets)
+
+    sp = sub.add_parser("text-to-srt",
+                        help="plain text -> SRT with estimated timings "
+                             "(skills/speak text_to_srt.py)")
+    sp.add_argument("input", help="text file path, or '-' for stdin")
+    sp.add_argument("--out", type=Path, required=True)
+    sp.add_argument("--cps", type=float, default=4.0,
+                    help="characters per second for duration estimation")
+    sp.add_argument("--gap-ms", type=int, default=150)
+    sp.add_argument("--start-offset-ms", type=int, default=0)
+    sp.set_defaults(func=cmd_text_to_srt)
+
+    sp = sub.add_parser("render-timeline",
+                        help="SRT -> timeline-accurate speech "
+                             "(skills/speak render_timeline.py)")
+    sp.add_argument("--srt", type=Path, required=True)
+    sp.add_argument("--out", type=Path, required=True)
+    sp.add_argument("--voice-map", type=Path, default=None,
+                    help="JSON: {default:{...}, segments:{'2-5':{...}}}")
+    sp.add_argument("--backend", choices=("pipeline", "command", "http"),
+                    default="pipeline")
+    sp.add_argument("--ref", type=Path, default=None,
+                    help="pipeline backend: default reference voice wav")
+    sp.add_argument("--command", default=None,
+                    help="command backend: external TTS CLI name")
+    sp.add_argument("--base-url", default=None, help="http backend API base URL")
+    sp.add_argument("--api-key", default="", help="http backend API key")
+    sp.add_argument("--encoder", type=Path, default=None)
+    sp.add_argument("--synth", type=Path, default=None)
+    sp.add_argument("--vocoder", type=Path, default=None)
+    sp.add_argument("--duration-mode", choices=("stretch", "pad_trim"),
+                    default="stretch")
+    sp.set_defaults(func=cmd_render_timeline)
+
     sp = sub.add_parser("serve", help="HTTP toolbox console + API (web.py / demo_toolbox.py)")
     sp.add_argument("--port", type=int, default=8080)
     sp.add_argument("--encoder", type=Path, default=None)
@@ -259,6 +306,56 @@ def cmd_import_checkpoint(args):
     from ..interop.import_checkpoint import import_reference_checkpoint
     cfg = Config.from_json(args.config) if args.config else None
     import_reference_checkpoint(args.family, args.torch_ckpt, args.out, cfg)
+
+
+def cmd_download_datasets(args):
+    from .. import datasets
+    if args.list:
+        for spec in datasets.CORPORA.values():
+            print(f"{spec.name:18s} SLR{spec.slr:<3d} {spec.archive:24s} "
+                  f"sha256={spec.sha256[:12]}…  {spec.url(args.mirror)}")
+        return
+    datasets.acquire(args.datasets_root, names=args.datasets,
+                     mirror=args.mirror, extract=not args.no_extract)
+
+
+def cmd_text_to_srt(args):
+    from .. import speak
+    text = (sys.stdin.read() if args.input == "-"
+            else Path(args.input).read_text(encoding="utf-8"))
+    cues = speak.text_to_srt(text, args.out, chars_per_second=args.cps,
+                             gap_ms=args.gap_ms,
+                             start_offset_ms=args.start_offset_ms)
+    print(f"wrote {len(cues)} cues -> {args.out} "
+          f"(total {cues[-1].end_ms / 1000:.1f}s)" if cues
+          else "no sentences found")
+
+
+def cmd_render_timeline(args):
+    from .. import speak
+    voice_map = speak.load_voice_map(args.voice_map) if args.voice_map else {}
+    if args.backend == "pipeline":
+        if args.ref is not None:
+            voice_map.setdefault("default", {}).setdefault(
+                "reference_audio", str(args.ref))
+        backend = speak.PipelineBackend(encoder_fpath=args.encoder,
+                                        synthesizer_fpath=args.synth,
+                                        vocoder_fpath=args.vocoder)
+    elif args.backend == "command":
+        if not args.command:
+            raise SystemExit("--command is required for the command backend")
+        backend = speak.CommandBackend(args.command)
+    else:
+        if not args.base_url:
+            raise SystemExit("--base-url is required for the http backend")
+        backend = speak.HttpBackend(
+            speak.TtsApiClient(args.base_url, api_key=args.api_key))
+    result = speak.render_timeline_file(
+        args.srt, args.out, backend, voice_map_path=None,
+        voice_map=voice_map, duration_mode=args.duration_mode,
+        on_progress=lambda i, n: print(f"  cue {i}/{n}", flush=True))
+    print(f"rendered {len(result.segments)} cues, "
+          f"{result.duration_s:.2f}s -> {args.out}")
 
 
 def cmd_serve(args):
