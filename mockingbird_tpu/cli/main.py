@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-s", "--skip_existing", action="store_true")
     sp.set_defaults(func=cmd_preprocess)
 
+    sp = sub.add_parser("emo", help="create emotion embeddings (pre.py --emotion_extract)")
+    sp.add_argument("syn_dir")
+    sp.add_argument("--weights", default=None,
+                    help="wav2vec2 emotion torch checkpoint (default: HF cache)")
+    sp.set_defaults(func=cmd_emo)
+
     sp = sub.add_parser("embed", help="create speaker embeddings for a syn dir")
     sp.add_argument("syn_dir", type=Path)
     sp.add_argument("-e", "--encoder_model_fpath", type=Path, default=None)
@@ -215,6 +221,11 @@ def cmd_preprocess(args):
     out = args.out_dir or (args.datasets_root / "SV2TTS" / "synthesizer")
     preprocess_dataset(args.datasets_root, out, args.n_processes,
                        args.skip_existing, args.dataset)
+
+
+def cmd_emo(args):
+    from ..models.tacotron.preprocess import create_emotion_embeddings
+    create_emotion_embeddings(args.syn_dir, weights_path=args.weights)
 
 
 def cmd_embed(args):

@@ -693,3 +693,78 @@ def convert_ppg2mel(sd: Dict[str, np.ndarray], cfg) -> tuple:
         post_stats[bname] = bn_s
     p["postnet"] = post
     return p, {"postnet": post_stats}
+
+
+def convert_wav2vec2_emotion(sd: Dict[str, np.ndarray], cfg,
+                             prefix: str = "wav2vec2") -> Dict:
+    """HF Wav2Vec2Model / reference EmotionExtractorModel state_dict →
+    params for `models.wav2emo.EmotionExtractorModel`
+    (`models/synthesizer/models/wav2emo.py:9-50`).
+
+    Handles both `feat_extract_norm` variants, both encoder layouts
+    (`do_stable_layer_norm`), weight-norm folding of the positional conv
+    (torch dim=2 norm, i.e. per kernel-tap slice), and both torch
+    weight-norm storages (`weight_g/weight_v` and
+    `parametrizations.weight.original0/1`). The `classifier.*` head is
+    converted when present (plain Wav2Vec2Model state_dicts get a
+    zero-initialised head)."""
+    pf = f"{prefix}." if prefix else ""
+    fe: Dict = {}
+    for i in range(len(cfg.conv_dim)):
+        cl = f"{pf}feature_extractor.conv_layers.{i}"
+        fe[f"conv_{i}"] = {"kernel": conv1d(sd[f"{cl}.conv.weight"])}
+        if f"{cl}.conv.bias" in sd:
+            fe[f"conv_{i}"]["bias"] = sd[f"{cl}.conv.bias"]
+        if cfg.feat_extract_norm == "layer":
+            fe[f"ln_{i}"] = _ln_entry(sd, f"{cl}.layer_norm")
+        elif i == 0:
+            fe["gn_0"] = _ln_entry(sd, f"{cl}.layer_norm")
+
+    # positional conv: fold weight norm (dim=2 → norm over (out,in) per tap)
+    pc = f"{pf}encoder.pos_conv_embed.conv"
+    if f"{pc}.weight_v" in sd:
+        v, g = sd[f"{pc}.weight_v"], sd[f"{pc}.weight_g"]
+    else:
+        g = sd[f"{pc}.parametrizations.weight.original0"]
+        v = sd[f"{pc}.parametrizations.weight.original1"]
+    norm = np.sqrt(np.sum(v ** 2, axis=(0, 1), keepdims=True))
+    w = g * v / np.maximum(norm, 1e-12)           # (out, in/groups, k)
+    pos_conv = {"kernel": conv1d(w), "bias": sd[f"{pc}.bias"]}
+
+    layers: Dict = {}
+    for i in range(cfg.num_hidden_layers):
+        el = f"{pf}encoder.layers.{i}"
+        layers[f"layer_{i}"] = {
+            "attention": {
+                name: _dense_entry(sd, f"{el}.attention.{name}")
+                for name in ("q_proj", "k_proj", "v_proj", "out_proj")},
+            "layer_norm": _ln_entry(sd, f"{el}.layer_norm"),
+            "final_layer_norm": _ln_entry(sd, f"{el}.final_layer_norm"),
+            "feed_forward": {
+                "intermediate_dense": _dense_entry(
+                    sd, f"{el}.feed_forward.intermediate_dense"),
+                "output_dense": _dense_entry(
+                    sd, f"{el}.feed_forward.output_dense")},
+        }
+
+    encoder = {"pos_conv_embed": {"conv": pos_conv},
+               "layer_norm": _ln_entry(sd, f"{pf}encoder.layer_norm"),
+               **layers}
+
+    w2v = {"feature_encoder": fe,
+           "fp_layer_norm": _ln_entry(sd, f"{pf}feature_projection.layer_norm"),
+           "fp_projection": _dense_entry(sd, f"{pf}feature_projection.projection"),
+           "encoder": encoder}
+
+    params: Dict = {"wav2vec2": w2v}
+    if "classifier.dense.weight" in sd:
+        params["cls_dense"] = _dense_entry(sd, "classifier.dense")
+        params["cls_out_proj"] = _dense_entry(sd, "classifier.out_proj")
+    else:
+        h = sd[f"{pf}feature_projection.projection.weight"].shape[0]
+        params["cls_dense"] = {"kernel": np.zeros((h, h), np.float32),
+                               "bias": np.zeros((h,), np.float32)}
+        params["cls_out_proj"] = {
+            "kernel": np.zeros((h, cfg.num_labels), np.float32),
+            "bias": np.zeros((cfg.num_labels,), np.float32)}
+    return params

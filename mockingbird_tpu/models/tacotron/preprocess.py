@@ -219,3 +219,39 @@ def create_embeddings(synthesizer_root: Path, encoder_model_fpath=None,
     with ThreadPoolExecutor(n_processes) as pool:
         list(pool.map(embed_one, metadata))
     print(f"Embedded {len(metadata)} utterances")
+
+
+def create_emotion_embeddings(synthesizer_root: Path, weights_path=None,
+                              batch_size: int = 8) -> None:
+    """Emotion-embed every utterance (`preprocess.py:140-156` create_emo):
+    emo/ dir of emo-<utt>.npy (1024-d wav2vec2 embeddings consumed by the
+    VITS dataset). Runs the TPU-native extractor batched per length bucket;
+    writes zeros (neutral) when no pretrained weights are available."""
+    from .emotion import EmotionExtractor
+
+    synthesizer_root = Path(synthesizer_root)
+    wav_dir = synthesizer_root / "audio"
+    emo_dir = synthesizer_root / "emo"
+    emo_dir.mkdir(exist_ok=True)
+
+    with (synthesizer_root / "train.txt").open("r", encoding="utf-8") as f:
+        metadata = [line.split("|") for line in f if line.strip()]
+    todo = []
+    for m in metadata:
+        wav_fname = m[0]
+        out = emo_dir / f"emo-{wav_fname.split('-', 1)[-1]}"
+        if not out.exists():
+            todo.append((wav_fname, out))
+    if not todo:
+        print("All emotion embeddings already exist")
+        return
+
+    ex = EmotionExtractor(weights_path=weights_path, verbose=True)
+    for i in range(0, len(todo), batch_size):
+        chunk = todo[i:i + batch_size]
+        wavs = [np.load(wav_dir / fname) for fname, _ in chunk]
+        embeds, _ = ex.extract_batch(wavs)
+        for (_, out), emb in zip(chunk, embeds):
+            np.save(out, emb, allow_pickle=False)
+    print(f"Emotion-embedded {len(todo)} utterances "
+          f"({'pretrained' if ex.available else 'neutral-zero fallback'})")

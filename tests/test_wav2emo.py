@@ -1,0 +1,223 @@
+"""wav2vec2 emotion extractor: equivalence vs the torch classes + wiring.
+
+Mirrors the reference's `models/synthesizer/models/wav2emo.py` semantics
+(HF Wav2Vec2Model + tanh RegressionHead, mean-pooled hidden states). The
+torch models are instantiated offline with random weights (tiny configs) —
+no network egress needed.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mockingbird_tpu.models.wav2emo import (
+    EmotionExtractorModel, Wav2Vec2Model as FlaxW2V, feat_extract_output_length,
+    normalize_wav, wav2emo_config)
+from mockingbird_tpu.interop.torch_weights import (
+    convert_wav2vec2_emotion, state_dict_to_numpy)
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+TINY = dict(conv_dim=(8, 8), conv_stride=(5, 2), conv_kernel=(10, 3),
+            hidden_size=16, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=32, num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4)
+
+
+def _torch_model(stable: bool, norm: str, seed: int = 0):
+    from transformers import Wav2Vec2Config
+    from transformers.models.wav2vec2.modeling_wav2vec2 import Wav2Vec2Model
+    tc = Wav2Vec2Config(conv_bias=True, feat_extract_norm=norm,
+                        do_stable_layer_norm=stable,
+                        feat_extract_activation="gelu", hidden_act="gelu",
+                        hidden_dropout=0.0, attention_dropout=0.0,
+                        feat_proj_dropout=0.0, layerdrop=0.0,
+                        apply_spec_augment=False, **TINY)
+    torch.manual_seed(seed)
+    return Wav2Vec2Model(tc).eval(), tc
+
+
+def _flax_cfg(stable: bool, norm: str):
+    return wav2emo_config().merge(
+        dict(feat_extract_norm=norm, do_stable_layer_norm=stable, **TINY))
+
+
+@pytest.mark.parametrize("stable,norm", [(True, "layer"), (False, "group")])
+def test_wav2vec2_equivalence(stable, norm):
+    """Flax Wav2Vec2 == torch Wav2Vec2Model for both encoder variants
+    (robust = stable-LN + layer-norm feature extractor; base = post-LN +
+    group-norm)."""
+    tm, tc = _torch_model(stable, norm)
+    cfg = _flax_cfg(stable, norm)
+    params = convert_wav2vec2_emotion(
+        state_dict_to_numpy(tm.state_dict()), cfg, prefix="")
+
+    rng = np.random.RandomState(1)
+    wav = rng.randn(2, 700).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(wav)).last_hidden_state.numpy()
+    with jax.default_matmul_precision("highest"):
+        out = FlaxW2V(cfg.freeze()).apply(
+            {"params": params["wav2vec2"]}, jnp.asarray(wav))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("stable,norm", [(True, "layer"), (False, "group")])
+def test_wav2vec2_masked_equivalence(stable, norm):
+    """Padded-batch extraction matches torch attention_mask semantics on the
+    valid frames."""
+    tm, tc = _torch_model(stable, norm)
+    cfg = _flax_cfg(stable, norm)
+    params = convert_wav2vec2_emotion(
+        state_dict_to_numpy(tm.state_dict()), cfg, prefix="")
+
+    rng = np.random.RandomState(2)
+    lens = np.array([700, 450])
+    wav = rng.randn(2, 700).astype(np.float32)
+    am = (np.arange(700)[None, :] < lens[:, None])
+    wav = (wav * am).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(wav),
+                 attention_mask=torch.from_numpy(am.astype(np.int64))
+                 ).last_hidden_state.numpy()
+    frames = ref.shape[1]
+    valid = np.array([feat_extract_output_length(int(n), cfg) for n in lens])
+    fmask = (np.arange(frames)[None, :] < valid[:, None]).astype(np.float32)
+    with jax.default_matmul_precision("highest"):
+        out = FlaxW2V(cfg.freeze()).apply(
+            {"params": params["wav2vec2"]}, jnp.asarray(wav), jnp.asarray(fmask))
+    err = np.abs(np.asarray(out) - ref)[fmask > 0]
+    assert err.max() < 2e-5
+
+
+def test_emotion_model_head_equivalence():
+    """Full EmotionExtractorModel (wav2vec2 + tanh regression head, pooled
+    mean) == the reference's wav2emo forward (`wav2emo.py:38-50`)."""
+    tm, tc = _torch_model(True, "layer")
+    cfg = _flax_cfg(True, "layer").merge(dict(num_labels=3))
+
+    torch.manual_seed(3)
+    dense = torch.nn.Linear(tc.hidden_size, tc.hidden_size)
+    out_proj = torch.nn.Linear(tc.hidden_size, 3)
+
+    sd = state_dict_to_numpy(tm.state_dict())
+    sd = {f"wav2vec2.{k}": v for k, v in sd.items()}
+    sd.update({"classifier.dense.weight": dense.weight.detach().numpy(),
+               "classifier.dense.bias": dense.bias.detach().numpy(),
+               "classifier.out_proj.weight": out_proj.weight.detach().numpy(),
+               "classifier.out_proj.bias": out_proj.bias.detach().numpy()})
+    params = convert_wav2vec2_emotion(sd, cfg, prefix="wav2vec2")
+
+    rng = np.random.RandomState(4)
+    wav = rng.randn(1, 900).astype(np.float32)
+    with torch.no_grad():
+        hidden = tm(torch.from_numpy(wav)).last_hidden_state
+        pooled = hidden.mean(dim=1)
+        logits = out_proj(torch.tanh(dense(pooled)))
+    with jax.default_matmul_precision("highest"):
+        emb, lg = EmotionExtractorModel(cfg.freeze()).apply(
+            {"params": params}, jnp.asarray(wav))
+    np.testing.assert_allclose(np.asarray(emb), pooled.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lg), logits.numpy(), atol=2e-5)
+
+
+def test_normalize_wav_matches_hf():
+    """zero-mean/unit-var normalization == HF Wav2Vec2FeatureExtractor,
+    including masked batch statistics."""
+    from transformers import Wav2Vec2FeatureExtractor
+    fe = Wav2Vec2FeatureExtractor(do_normalize=True, return_attention_mask=True)
+    rng = np.random.RandomState(5)
+    wav = (rng.randn(1200) * 0.3).astype(np.float32)
+    ref = fe(wav, sampling_rate=16000)["input_values"][0]
+    out = np.asarray(normalize_wav(jnp.asarray(wav[None])))[0]
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    # masked: stats over the valid prefix only
+    padded = np.zeros((1, 1500), np.float32)
+    padded[0, :1200] = wav
+    out2 = np.asarray(normalize_wav(jnp.asarray(padded),
+                                    jnp.asarray(np.array([1200]))))[0]
+    np.testing.assert_allclose(out2[:1200], ref, atol=1e-5)
+    assert np.all(out2[1200:] == 0)
+
+
+def test_extractor_fallback_and_api(tmp_path):
+    """Without weights, extract_emo returns neutral zeros with the reference
+    API shape; EmotionExtractor batches ragged inputs."""
+    from mockingbird_tpu.models.tacotron.emotion import (
+        EMOTION_DIM, EmotionExtractor)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ex = EmotionExtractor(weights_path=tmp_path / "missing.bin")
+    assert not ex.available
+    emb, logits = ex.extract(np.zeros(16000, np.float32))
+    assert emb.shape == (EMOTION_DIM,) and not emb.any()
+    e2, l2 = ex.extract_batch([np.zeros(100, np.float32),
+                               np.zeros(200, np.float32)])
+    assert e2.shape == (2, EMOTION_DIM)
+
+
+def test_extractor_with_tiny_checkpoint(tmp_path):
+    """EmotionExtractor loads a torch checkpoint file and its bucketed,
+    padded batch path reproduces the torch per-utterance reference."""
+    tm, tc = _torch_model(True, "layer", seed=6)
+    torch.manual_seed(7)
+    dense = torch.nn.Linear(tc.hidden_size, tc.hidden_size)
+    out_proj = torch.nn.Linear(tc.hidden_size, 3)
+    sd = {f"wav2vec2.{k}": v for k, v in tm.state_dict().items()}
+    sd.update({"classifier.dense.weight": dense.weight.detach(),
+               "classifier.dense.bias": dense.bias.detach(),
+               "classifier.out_proj.weight": out_proj.weight.detach(),
+               "classifier.out_proj.bias": out_proj.bias.detach()})
+    fp = tmp_path / "emotion.pt"
+    torch.save(sd, fp)
+
+    from mockingbird_tpu.models.tacotron.emotion import EmotionExtractor
+    cfg = dict(feat_extract_norm="layer", do_stable_layer_norm=True,
+               num_labels=3, **TINY)
+    ex = EmotionExtractor(weights_path=fp, cfg=cfg)
+    assert ex.available
+
+    rng = np.random.RandomState(8)
+    wavs = [rng.randn(900).astype(np.float32),
+            rng.randn(1300).astype(np.float32)]
+    with jax.default_matmul_precision("highest"):
+        emb, logits = ex.extract_batch(wavs)
+
+    from transformers import Wav2Vec2FeatureExtractor
+    fe = Wav2Vec2FeatureExtractor(do_normalize=True)
+    for i, w in enumerate(wavs):
+        x = fe(w, sampling_rate=16000)["input_values"][0]
+        with torch.no_grad():
+            hidden = tm(torch.from_numpy(x[None])).last_hidden_state
+            pooled = hidden.mean(dim=1)
+            ref_logits = out_proj(torch.tanh(dense(pooled)))
+        np.testing.assert_allclose(emb[i], pooled.numpy()[0], atol=5e-4)
+        np.testing.assert_allclose(logits[i], ref_logits.numpy()[0], atol=5e-4)
+
+
+def test_create_emotion_embeddings_writes_emo_dir(tmp_path):
+    """`emo` preprocessing writes emo-*.npy files the VITS dataset loads
+    (`vits_dataset.py:69` analogue)."""
+    syn = tmp_path / "syn"
+    (syn / "audio").mkdir(parents=True)
+    rng = np.random.RandomState(9)
+    meta = []
+    for i in range(3):
+        fname = f"audio-utt{i}.npy"
+        np.save(syn / "audio" / fname, rng.randn(800).astype(np.float32))
+        meta.append(f"{fname}|mel-utt{i}.npy|embed-utt{i}.npy|800|100|text")
+    (syn / "train.txt").write_text("\n".join(meta))
+
+    import warnings
+    from mockingbird_tpu.models.tacotron.preprocess import (
+        create_emotion_embeddings)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        create_emotion_embeddings(syn, weights_path=syn / "none.bin")
+    for i in range(3):
+        emo = np.load(syn / "emo" / f"emo-utt{i}.npy")
+        assert emo.shape == (1024,)
