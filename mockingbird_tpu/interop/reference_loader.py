@@ -25,10 +25,22 @@ _STUBS = ["imp", "librosa", "librosa.filters", "librosa.core", "librosa.effects"
           "espnet.nets.pytorch_backend.transformer.embedding"]
 
 
+_STUBBED: set = set()
+
+
 def _stub(name: str) -> None:
     if name in sys.modules:
         return
+    # never shadow a real installed package (e.g. tqdm, which transformers
+    # needs working — a fake module here breaks unrelated later imports)
+    import importlib.util
+    try:
+        if importlib.util.find_spec(name) is not None:
+            return
+    except Exception:
+        pass  # parent is itself a stub / no spec — go ahead and stub
     mod = types.ModuleType(name)
+    mod.__path__ = []  # mark as package so dotted children resolve
     mod.__getattr__ = lambda attr: (lambda *a, **k: None)  # type: ignore
     if name == "loguru":
         class _L:
@@ -38,6 +50,7 @@ def _stub(name: str) -> None:
     if name == "tqdm":
         mod.tqdm = lambda it, *a, **k: it
     sys.modules[name] = mod
+    _STUBBED.add(name)
 
 
 def reference_available() -> bool:
@@ -56,6 +69,23 @@ def setup_reference_imports() -> None:
             setattr(np, alias, repl)
     if str(REFERENCE_ROOT) not in sys.path:
         sys.path.insert(0, str(REFERENCE_ROOT))
+
+
+def teardown_reference_imports() -> None:
+    """Undo `setup_reference_imports`: drop the stub modules and the
+    reference's own cached top-level packages so later imports of real
+    libraries (e.g. transformers pulling in its optional deps) are clean."""
+    for name in list(sys.modules):
+        if name in _STUBBED or name.split(".")[0] in _STUBBED:
+            del sys.modules[name]
+    _STUBBED.clear()
+    ref_modules = [n for n, m in sys.modules.items()
+                   if getattr(m, "__file__", None)
+                   and str(getattr(m, "__file__")).startswith(str(REFERENCE_ROOT))]
+    for name in ref_modules:
+        del sys.modules[name]
+    if str(REFERENCE_ROOT) in sys.path:
+        sys.path.remove(str(REFERENCE_ROOT))
 
 
 def load_reference_hifigan_generator(cfg):

@@ -20,6 +20,15 @@ pytestmark = pytest.mark.skipif(not reference_available(),
                                 reason="/root/reference not mounted")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clean_reference_stubs():
+    """Remove the reference's import stubs after this module so later tests
+    importing real libraries (transformers → tqdm etc.) see a clean state."""
+    yield
+    from mockingbird_tpu.interop.reference_loader import teardown_reference_imports
+    teardown_reference_imports()
+
+
 def test_hifigan_generator_equivalence():
     from mockingbird_tpu.interop import (convert_hifigan_generator,
                                          load_reference_hifigan_generator,
