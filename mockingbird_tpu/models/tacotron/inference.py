@@ -84,12 +84,8 @@ class Synthesizer:
             carry0 = model.apply(variables, b, t_text, method=Tacotron.init_carry)
             go = jnp.zeros((b, m))
 
-            def cond(state):
-                t, done, *_ = state
-                return jnp.logical_and(t < n_groups, jnp.logical_not(jnp.all(done)))
-
             def body(state):
-                t, done, carry, prev, mel_buf, attn_buf, key = state
+                t, done, done_at, carry, prev, mel_buf, attn_buf, key = state
                 key, sub = jax.random.split(key)
                 carry, (mel_r, scores, stop) = model.apply(
                     variables, enc_seq, enc_proj, char_mask, carry, prev, r,
@@ -98,17 +94,25 @@ class Synthesizer:
                 attn_buf = jax.lax.dynamic_update_index_in_dim(attn_buf, scores, t, 0)
                 # stop rule (`tacotron.py:275`): stop*10 > min_stop_token, after t*r > 10
                 newly_done = jnp.logical_and(stop * 10 > min_stop_token, t * r > 10)
+                done_at = jnp.where(jnp.logical_and(newly_done, ~done), t + 1, done_at)
                 done = jnp.logical_or(done, newly_done)
                 prev = mel_r[:, -1, :]
-                return (t + 1, done, carry, prev, mel_buf, attn_buf, key)
+                return (t + 1, done, done_at, carry, prev, mel_buf, attn_buf, key)
 
-            state = (jnp.asarray(0), jnp.zeros((b,), bool), carry0, go, mel_buf, attn_buf, key)
-            t_final, _, _, _, mel_buf, attn_buf, _ = jax.lax.while_loop(cond, body, state)
+            def cond(state):
+                t, done, *_ = state
+                return jnp.logical_and(t < n_groups, jnp.logical_not(jnp.all(done)))
+
+            state = (jnp.asarray(0), jnp.zeros((b,), bool),
+                     jnp.full((b,), n_groups, jnp.int32), carry0, go,
+                     mel_buf, attn_buf, key)
+            t_final, _, done_at, _, _, mel_buf, attn_buf, _ = \
+                jax.lax.while_loop(cond, body, state)
 
             mels = jnp.swapaxes(mel_buf, 0, 1).reshape(b, max_steps, m)
             attn = jnp.swapaxes(attn_buf, 0, 1)
             linear = model.apply(variables, mels, False, method=Tacotron.postnet_apply)
-            return mels, linear, attn, t_final * r
+            return mels, linear, attn, t_final * r, done_at * r
 
         return generate
 
@@ -142,7 +146,7 @@ class Synthesizer:
                 texts_arr[j, : len(s)] = s
 
             gen = self._generate_fn(t_text, steps, r, style_mode)
-            mels, linear, attn, n_frames = gen(
+            mels, linear, attn, n_frames, _ = gen(
                 self._variables, jnp.asarray(texts_arr), jnp.asarray(emb),
                 jax.random.PRNGKey(self.seed), jnp.asarray(max(style_idx, 0)),
                 jnp.asarray(float(min_stop_token)))
@@ -160,6 +164,35 @@ class Synthesizer:
                 aligns.append(attn[j])
 
         return (specs, aligns) if return_alignments else specs
+
+    def synthesize_mels_device(self, texts: List[str],
+                               embeddings: Union[np.ndarray, List[np.ndarray]],
+                               style_idx: int = 0, min_stop_token: int = 5,
+                               steps: int = 2000, r: int = 2):
+        """Device-resident synthesis for fused pipelines: one bucketed batch →
+        (mels (B, steps, M) on device, per-item frame lengths (B,) on device).
+
+        Unlike `synthesize_spectrograms` nothing is transferred to the host —
+        downstream stages (vocoder) consume the mel on-chip, so the tunnel
+        only ever carries the final PCM (`pipeline.tts_batch`)."""
+        if not self.is_loaded():
+            self.load()
+        sequences = [np.asarray(text_to_sequence(romanize(t)), np.int32) for t in texts]
+        embeddings = np.asarray(embeddings, np.float32)
+        if embeddings.ndim == 1:
+            embeddings = np.tile(embeddings, (len(sequences), 1))
+        steps = _bucket(steps, 200)
+        style_mode = "token" if 0 <= style_idx < self.cfg.gst_token_num else "neutral"
+        t_text = _bucket(max(len(s) for s in sequences), 32)
+        texts_arr = np.zeros((len(sequences), t_text), np.int32)
+        for j, s in enumerate(sequences):
+            texts_arr[j, : len(s)] = s
+        gen = self._generate_fn(t_text, steps, r, style_mode)
+        mels, _, _, _, frame_lens = gen(
+            self._variables, jnp.asarray(texts_arr), jnp.asarray(embeddings),
+            jax.random.PRNGKey(self.seed), jnp.asarray(max(style_idx, 0)),
+            jnp.asarray(float(min_stop_token)))
+        return mels, frame_lens
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -65,6 +65,16 @@ class GanVocoder:
             return self.model.apply({"params": p}, mel).astype(jnp.float32)
         self._fwd = _fwd
 
+        @functools.partial(jax.jit)
+        def _fwd_pcm16(p, mel):
+            if half:
+                mel = mel.astype(jnp.bfloat16)
+            wav = self.model.apply({"params": p}, mel).astype(jnp.float32)
+            # int16 PCM on-device: halves the device→host transfer, which is
+            # the e2e bottleneck on tunneled TPU hosts (~40 MB/s)
+            return jnp.round(jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        self._fwd_pcm16 = _fwd_pcm16
+
     def infer_waveform(self, mel: np.ndarray) -> np.ndarray:
         """mel (M, T) reference layout (synthesizer output) → wav float32.
 
@@ -94,6 +104,13 @@ class GanVocoder:
             for m in mels])
         wavs = np.asarray(self._fwd(self._params_c, jnp.asarray(batch)))
         return [wavs[i, : lengths[i] * self.cfg.hop_size] for i in range(len(mels))]
+
+    def vocode_device(self, mel_dev, pcm16: bool = True):
+        """Fused-pipeline entry: device-resident mel (B, T, M) → device wav
+        (B, T*hop) — int16 PCM (default) or float32. No host round-trip: the
+        synthesizer's on-chip mel feeds the generator directly."""
+        fn = self._fwd_pcm16 if pcm16 else self._fwd
+        return fn(self._params_c, mel_dev)
 
 
 def load_vocoder(model_fpath: Union[str, Path, None] = None, verbose: bool = True):

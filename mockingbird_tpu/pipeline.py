@@ -78,6 +78,49 @@ class VoiceCloningPipeline:
             return self.vocoder.infer_waveform_batch(specs)
         return [self.vocoder.infer_waveform(s) for s in specs]
 
+    def tts_batch(self, texts: Union[str, List[str]],
+                  ref_wav: Union[str, Path, np.ndarray],
+                  style_idx: int = 0, min_stop_token: int = 5,
+                  steps: int = 1000, batch_size: int = 32,
+                  source_sr: Optional[int] = None,
+                  pcm16: bool = True) -> List[np.ndarray]:
+        """Fused on-device TTS: text → mel → waveform without any host
+        round-trip between stages; one int16-PCM transfer per batch.
+
+        This is the throughput path (serving / bench): on tunneled TPU hosts
+        the device↔host link, not compute, bounds e2e RTF, so the pipeline
+        keeps the mel on-chip and ships only quantised PCM. Falls back to the
+        staged path for non-GAN vocoders. Returns per-text int16 (or float32)
+        waveforms trimmed at each utterance's stop token."""
+        if isinstance(texts, str):
+            texts = [texts]
+        if not (self.synthesizer_kind == "tacotron"
+                and hasattr(self.vocoder, "vocode_device")):
+            return self.clone_voice(texts, ref_wav, style_idx=style_idx,
+                                    min_stop_token=min_stop_token, steps=steps,
+                                    source_sr=source_sr)
+        embed = self.embed_reference(ref_wav, source_sr)
+        hop = self.vocoder.cfg.hop_size
+        # two-phase software pipeline: dispatch every chunk's device program
+        # first (JAX dispatch is async), then fetch in order — chunk k+1
+        # computes while chunk k's PCM crosses the device→host link
+        pending = []
+        for i in range(0, len(texts), batch_size):
+            chunk = texts[i : i + batch_size]
+            embeds = np.tile(embed, (len(chunk), 1))
+            mels_dev, frame_lens = self.synthesizer.synthesize_mels_device(
+                chunk, embeds, style_idx=style_idx,
+                min_stop_token=min_stop_token, steps=steps)
+            pcm_dev = self.vocoder.vocode_device(mels_dev, pcm16=pcm16)
+            pending.append((len(chunk), pcm_dev, frame_lens))
+        wavs: List[np.ndarray] = []
+        for n, pcm_dev, frame_lens in pending:
+            pcm = np.asarray(pcm_dev)          # single D2H per chunk
+            lens = np.asarray(frame_lens)
+            for j in range(n):
+                wavs.append(pcm[j, : int(lens[j]) * hop])
+        return wavs
+
     def tts_to_file(self, text: str, ref_wav: Union[str, Path], out_path: Union[str, Path],
                     **kwargs) -> float:
         t0 = time.time()

@@ -111,6 +111,22 @@ def test_pipeline_tts_with_fresh_weights(syn_dir, tmp_path):
     assert np.isfinite(out[0]).all()
     assert len(out[0]) > 0
 
+    # fused on-device path: int16 PCM, same per-item lengths as staged path
+    fused = pipe.tts_batch(["ni3 hao3", "ce4 shi4"], ref, steps=40,
+                           min_stop_token=11)
+    assert len(fused) == 2
+    hop = pipe.vocoder.cfg.hop_size
+    for w in fused:
+        assert w.dtype == np.int16
+        assert len(w) == 200 * hop  # stop disabled → full (bucketed) workload
+        assert np.abs(w.astype(np.int32)).max() <= 32767
+    # float32 variant (same batch → same dropout draws) matches the quantised one
+    fused32 = pipe.tts_batch(["ni3 hao3", "ce4 shi4"], ref, steps=40,
+                             min_stop_token=11, pcm16=False)
+    assert fused32[0].dtype == np.float32
+    q = np.round(np.clip(fused32[0], -1, 1) * 32767).astype(np.int16)
+    assert np.abs(q.astype(np.int32) - fused[0].astype(np.int32)).max() <= 1
+
 
 def test_vocoder_dataset_from_gta(syn_dir):
     from mockingbird_tpu.models.vocoder.wavernn_train import (WaveRnnDataset,
