@@ -3,9 +3,10 @@
 The reference calls `pypinyin.lazy_pinyin(text, style=Style.TONE3)` at
 inference and preprocessing time (`models/synthesizer/inference.py:100`,
 `preprocess_audio.py:16-19`). pypinyin is optional here: when installed it is
-used directly; otherwise non-CJK text passes through unchanged and CJK input
-raises a clear error telling the user to either install pypinyin or provide
-pinyin directly (the model itself always consumes romanised text).
+used directly; otherwise an embedded table of the most frequent characters
+(plus a polyphone word dictionary, `pinyin_data.py`) romanises hanzi with
+greedy longest-match segmentation. Non-CJK text always passes through
+unchanged, and tone-numbered pinyin input is first-class either way.
 """
 from __future__ import annotations
 
@@ -18,11 +19,53 @@ try:
 except ImportError:
     HAVE_PYPINYIN = False
 
-_CJK_RE = re.compile(r"[㐀-䶿一-鿿豈-﫿]")
+_CJK_RE = re.compile(r"[㐀-䶿一-鿿豈-﫿]")
 
 
 def contains_chinese(text: str) -> bool:
     return _CJK_RE.search(text) is not None
+
+
+def _fallback_pinyin(text: str) -> List[str]:
+    """Embedded-table romanisation: greedy longest-match over WORD_PINYIN,
+    then per-character CHAR_PINYIN; non-CJK runs pass through as single
+    tokens (lazy_pinyin(errors='ignore') drops unknowns — so do we)."""
+    from .pinyin_data import CHAR_PINYIN, WORD_PINYIN
+
+    max_word = max((len(w) for w in WORD_PINYIN), default=1)
+    out: List[str] = []
+    buf: List[str] = []  # pending non-CJK run
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if not _CJK_RE.match(ch):
+            buf.append(ch)
+            i += 1
+            continue
+        if buf:
+            tok = "".join(buf).strip()
+            if tok:
+                out.append(tok)
+            buf = []
+        matched = False
+        for L in range(min(max_word, n - i), 1, -1):
+            word = text[i : i + L]
+            if word in WORD_PINYIN:
+                out.extend(WORD_PINYIN[word].split())
+                i += L
+                matched = True
+                break
+        if not matched:
+            py = CHAR_PINYIN.get(ch)
+            if py is not None:
+                out.append(py)
+            # unknown hanzi: dropped (errors='ignore' semantics)
+            i += 1
+    if buf:
+        tok = "".join(buf).strip()
+        if tok:
+            out.append(tok)
+    return out
 
 
 def chinese_to_pinyin(text: str, errors: str = "ignore") -> List[str]:
@@ -33,10 +76,7 @@ def chinese_to_pinyin(text: str, errors: str = "ignore") -> List[str]:
     if HAVE_PYPINYIN:
         return lazy_pinyin(text, style=Style.TONE3, errors=errors)
     if contains_chinese(text):
-        raise RuntimeError(
-            "Input contains hanzi but pypinyin is not installed. Install "
-            "pypinyin, or pass tone-numbered pinyin directly (e.g. 'ni3 hao3')."
-        )
+        return _fallback_pinyin(text)
     return [text]
 
 

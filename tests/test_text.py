@@ -42,3 +42,35 @@ def test_number_to_words():
 def test_contains_chinese():
     assert contains_chinese("你好")
     assert not contains_chinese("ni3 hao3")
+
+
+def test_builtin_pinyin_fallback():
+    """Embedded hanzi→pinyin table: works without pypinyin installed."""
+    from mockingbird_tpu.text.pinyin import _fallback_pinyin
+    from mockingbird_tpu.text import romanize, text_to_sequence
+
+    assert _fallback_pinyin("你好世界") == ["ni3", "hao3", "shi4", "jie4"]
+    # polyphone word dictionary beats per-char defaults (行 xing2 / hang2)
+    assert _fallback_pinyin("银行") == ["yin2", "hang2"]
+    assert _fallback_pinyin("不行") == ["bu4", "xing2"]
+    # neutral tones carry no digit, matching pypinyin Style.TONE3
+    assert _fallback_pinyin("我们") == ["wo3", "men"]
+    # non-CJK runs pass through; unknown hanzi are dropped (errors='ignore')
+    assert _fallback_pinyin("abc 你好!") == ["abc", "ni3", "hao3", "!"]
+    # the romanised output feeds the symbol table end to end
+    seq = text_to_sequence(romanize("你好世界"))
+    assert len(seq) > 0 and all(isinstance(i, int) for i in seq)
+
+
+def test_builtin_pinyin_table_wellformed():
+    import re
+    from mockingbird_tpu.text.pinyin_data import CHAR_PINYIN, WORD_PINYIN
+
+    syl = re.compile(r"[a-z]+[1-5]?$")
+    assert len(CHAR_PINYIN) > 1000
+    for ch, py in CHAR_PINYIN.items():
+        assert len(ch) == 1 and "㐀" <= ch <= "鿿", ch
+        assert syl.fullmatch(py), (ch, py)
+    for w, py in WORD_PINYIN.items():
+        assert len(w) >= 2, w
+        assert all(syl.fullmatch(t) for t in py.split()), (w, py)
