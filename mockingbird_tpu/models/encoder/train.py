@@ -9,6 +9,8 @@ computes the loss on the CPU, `train.py:27-32`).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import time
 from pathlib import Path
 from typing import Optional
@@ -38,7 +40,7 @@ def make_train_step(model: SpeakerEncoder, tx: optax.GradientTransformation,
         loss, sim = ge2e_loss(embeds, params["similarity"]["weight"], params["similarity"]["bias"])
         return loss, sim
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch):
         (loss, sim), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
         # reference `model.py:33-39`: scale similarity grads ×0.01 before clipping

@@ -8,6 +8,8 @@ stop targets).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import random
 import time
 from pathlib import Path
@@ -103,7 +105,7 @@ def make_vc_step(model: MelDecoderMOLv2, tx):
         l_stop = -jnp.mean(batch["stops"] * jnp.log(s) + (1 - batch["stops"]) * jnp.log(1 - s))
         return l_mel + l_stop, (mut["batch_stats"], l_mel, l_stop)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step_fn(params, batch_stats, opt_state, batch, key):
         (loss, (stats, l_mel, l_stop)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch_stats, batch, key)

@@ -7,6 +7,8 @@ MOL loss, periodic checkpoints + test generation).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import random
 import time
 from pathlib import Path
@@ -105,7 +107,7 @@ def make_wavernn_step(model: WaveRNN, tx, mode: str):
             loss = discretized_mix_logistic_loss(logits, batch["y"][..., None])
         return loss, mut["batch_stats"]
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step_fn(params, batch_stats, opt_state, batch):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch_stats, batch)

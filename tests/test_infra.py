@@ -143,13 +143,14 @@ def test_spmd_data_parallel_training_8dev():
     step = make_train_step(model, tx, 8, 3)
 
     batch = jnp.asarray(np.random.RandomState(0).randn(8, 3, 20, 40), jnp.float32)
-    p1, _, loss_single, _ = step(params, opt_state, batch)
+    copy = lambda t: jax.tree.map(jnp.copy, t)  # step donates params/opt_state
+    p1, _, loss_single, _ = step(copy(params), copy(opt_state), batch)
 
     mesh = make_mesh()
     assert mesh.shape["data"] * mesh.shape["model"] == 8
     sharded = shard_batch(mesh, batch)
     assert len(sharded.sharding.device_set) == mesh.shape["data"]
-    p2, _, loss_sharded, _ = step(params, opt_state, sharded)
+    p2, _, loss_sharded, _ = step(copy(params), copy(opt_state), sharded)
     np.testing.assert_allclose(float(loss_single), float(loss_sharded), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
