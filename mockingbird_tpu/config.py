@@ -32,6 +32,9 @@ class FrozenConfig(SimpleNamespace):
     def __eq__(self, other):
         return isinstance(other, FrozenConfig) and vars(self) == vars(other)
 
+    def get(self, name, default=None):
+        return vars(self).get(name, default)
+
 
 class Config(dict):
     """A dict with attribute access, deep merge, and CLI-string overrides."""

