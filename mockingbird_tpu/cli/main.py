@@ -133,6 +133,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--griffin-lim", action="store_true")
     sp.set_defaults(func=cmd_tts)
 
+    sp = sub.add_parser("demo", help="interactive voice-cloning REPL "
+                                     "(archived_untest_files/demo_cli.py)")
+    sp.add_argument("--encoder", type=Path, default=None)
+    sp.add_argument("--synth", type=Path, default=None)
+    sp.add_argument("--vocoder", type=Path, default=None)
+    sp.add_argument("--out-dir", type=Path, default=Path("demo_output"))
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(func=cmd_demo)
+
     sp = sub.add_parser("convert", help="one-shot voice conversion (run.py)")
     sp.add_argument("sources", nargs="+", type=Path)
     sp.add_argument("--ref", type=Path, required=True)
@@ -301,6 +310,38 @@ def cmd_tts(args):
                            style_idx=args.style_idx,
                            use_griffin_lim=args.griffin_lim)
     print(f"Wrote {args.out} (RTF {rtf:.1f}x)")
+
+
+def cmd_demo(args, _input=input, _print=print):
+    """Interactive REPL mirroring the reference's demo_cli flow: pick a
+    reference wav once, then type texts; each synthesis is written to
+    out-dir (`archived_untest_files/demo_cli.py`)."""
+    from ..pipeline import VoiceCloningPipeline
+    args.out_dir.mkdir(parents=True, exist_ok=True)
+    pipe = VoiceCloningPipeline(args.encoder, args.synth, args.vocoder,
+                                seed=args.seed)
+    _print("Interactive voice cloning. Ctrl-C or empty input to quit.")
+    ref = _input("Reference wav path: ").strip()
+    if not ref:
+        return
+    n = 0
+    while True:
+        try:
+            text = _input("Text (hanzi or pinyin): ").strip()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if not text:
+            break
+        import time as _time
+        t0 = _time.time()
+        wav = pipe.clone_voice(text, ref)[0]
+        dt = _time.time() - t0
+        out = args.out_dir / f"demo_{n:03d}.wav"
+        from ..dsp import save_wav
+        save_wav(wav, out, pipe.audio_cfg.sample_rate)
+        _print(f"Wrote {out} ({len(wav)/pipe.audio_cfg.sample_rate:.1f}s audio "
+               f"in {dt:.1f}s)")
+        n += 1
 
 
 def cmd_convert(args):

@@ -108,6 +108,49 @@ def test_cli_parser():
     assert args.arch == "fregan"
     args = p.parse_args(["preprocess", "/data", "-d", "aishell3"])
     assert args.dataset == "aishell3"
+    args = p.parse_args(["demo", "--out-dir", "/tmp/x"])
+    assert args.command == "demo"
+
+
+def test_cli_demo_repl(tmp_path, sample_wav, monkeypatch):
+    """The interactive demo loop: scripted stdin → wav files on disk."""
+    import scipy.io.wavfile as wavfile
+    from mockingbird_tpu.cli.main import cmd_demo
+    from mockingbird_tpu.models.tacotron.inference import Synthesizer
+    from mockingbird_tpu.models.tacotron import tacotron_config
+    from mockingbird_tpu.models.vocoder import GanVocoder, hifigan_config
+    from mockingbird_tpu.config import Config
+    import argparse
+
+    wav, sr = sample_wav
+    ref = tmp_path / "ref.wav"
+    wavfile.write(str(ref), sr, (wav * 32767).astype(np.int16))
+
+    # shrink the pipeline's models so the REPL runs fast on CPU
+    import mockingbird_tpu.pipeline as pl
+    orig_init = pl.VoiceCloningPipeline.__init__
+
+    def tiny_init(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        self.synthesizer = Synthesizer(cfg=tacotron_config().merge(dict(
+            embed_dims=32, encoder_dims=16, decoder_dims=16, postnet_dims=32,
+            lstm_dims=32, gst_E=16, gst_num_heads=4, gst_ref_filters=(4, 4))),
+            verbose=False)
+        self.vocoder = GanVocoder("hifigan", cfg=Config(hifigan_config()).merge(
+            dict(upsample_initial_channel=32, resblock_kernel_sizes=[3],
+                 resblock_dilation_sizes=[[1, 3]])), verbose=False)
+    monkeypatch.setattr(pl.VoiceCloningPipeline, "__init__", tiny_init)
+
+    inputs = iter([str(ref), "ni3 hao3", ""])
+    args = argparse.Namespace(encoder=None, synth=None, vocoder=None,
+                              out_dir=tmp_path / "demo", seed=0)
+    outputs = []
+    cmd_demo(args, _input=lambda *_: next(inputs), _print=outputs.append)
+
+    files = sorted((tmp_path / "demo").glob("demo_*.wav"))
+    assert len(files) == 1
+    sr2, w2 = wavfile.read(str(files[0]))
+    assert len(w2) > 0
 
 
 def test_http_server_health_and_jobs():
