@@ -41,7 +41,7 @@ class VitsSynthesizer:
         self.variables = variables
 
     @functools.lru_cache(maxsize=8)
-    def _infer_fn(self, t_text: int, max_frames: int):
+    def _infer_fn(self, t_text: int, max_frames: int, pcm16: bool = False):
         model = self.model
 
         @jax.jit
@@ -52,13 +52,17 @@ class VitsSynthesizer:
                 noise_scale=noise_scale, length_scale=length_scale,
                 noise_scale_w=noise_scale_w, max_len=max_frames, key=k1,
                 method=Vits.infer, rngs={"dropout": k2})
+            if pcm16:
+                # quantise on device: halves the device→host transfer, which
+                # dominates e2e latency on tunneled TPU hosts
+                o = jnp.round(jnp.clip(o, -1.0, 1.0) * 32767.0).astype(jnp.int16)
             return o, y_lengths
         return f
 
     def synthesize(self, texts: List[str], sids: Optional[np.ndarray] = None,
                    emos: Optional[np.ndarray] = None, noise_scale: float = 0.667,
                    length_scale: float = 1.0, noise_scale_w: float = 0.8,
-                   max_frames: int = 1000) -> List[np.ndarray]:
+                   max_frames: int = 1000, pcm16: bool = False) -> List[np.ndarray]:
         cfg = self.cfg
         seqs = [np.asarray(text_to_sequence(romanize(t)), np.int32) for t in texts]
         b = len(seqs)
@@ -72,7 +76,7 @@ class VitsSynthesizer:
         emos = (np.zeros((b, cfg.emotion_channels), np.float32) if emos is None
                 else np.asarray(emos, np.float32))
 
-        fn = self._infer_fn(t_text, max_frames)
+        fn = self._infer_fn(t_text, max_frames, pcm16)
         o, y_lengths = fn(self.variables, jnp.asarray(x), jnp.asarray(xl),
                           jnp.asarray(sids), jnp.asarray(emos),
                           jax.random.PRNGKey(self.seed),
