@@ -188,3 +188,16 @@ def test_slice_segments():
     out = slice_segments(x, jnp.asarray([2, 5]), 4)
     np.testing.assert_array_equal(np.asarray(out),
                                   [[2, 3, 4, 5], [17, 18, 19, 20]])
+
+
+def test_vits_synthesizer_pcm16():
+    """VitsSynthesizer's on-device int16 path matches the float path."""
+    from mockingbird_tpu.models.vits.inference import VitsSynthesizer
+    syn = VitsSynthesizer(cfg=small_cfg(), verbose=False, seed=0)
+    texts = ["ni3 hao3 shi4 jie4"]
+    f32 = syn.synthesize(texts, max_frames=40)
+    i16 = syn.synthesize(texts, max_frames=40, pcm16=True)
+    assert f32[0].dtype == np.float32 and i16[0].dtype == np.int16
+    assert len(f32[0]) == len(i16[0])
+    q = np.round(np.clip(f32[0], -1, 1) * 32767).astype(np.int16)
+    assert np.abs(q.astype(np.int32) - i16[0].astype(np.int32)).max() <= 1
