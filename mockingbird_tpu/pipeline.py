@@ -121,10 +121,30 @@ class VoiceCloningPipeline:
                 wavs.append(pcm[j, : int(lens[j]) * hop])
         return wavs
 
+    def clone_voice_long(self, text: str, ref_wav: Union[str, Path, np.ndarray],
+                         break_seconds: float = 0.15, max_chars: int = 140,
+                         **kwargs) -> np.ndarray:
+        """Long-text TTS (`gen_voice.py:15-114` flow): number normalisation,
+        punctuation split, chunking, per-chunk synthesis with silence breaks.
+        Chunks ride the fused on-device batch path when available."""
+        from .text.long_text import synthesize_long_text
+
+        def synth(chunks):
+            wavs = self.tts_batch(chunks, ref_wav, **kwargs)
+            return [w.astype(np.float32) / 32767.0 if w.dtype == np.int16 else w
+                    for w in wavs]
+
+        return synthesize_long_text(text, synth, self.audio_cfg.sample_rate,
+                                    break_seconds, max_chars)
+
     def tts_to_file(self, text: str, ref_wav: Union[str, Path], out_path: Union[str, Path],
-                    **kwargs) -> float:
+                    long_text: Optional[bool] = None, **kwargs) -> float:
         t0 = time.time()
-        wav = self.clone_voice(text, ref_wav, **kwargs)[0]
+        use_gl = kwargs.pop("use_griffin_lim", False)
+        if not use_gl and (long_text or (long_text is None and len(text) > 140)):
+            wav = self.clone_voice_long(text, ref_wav, **kwargs)
+        else:
+            wav = self.clone_voice(text, ref_wav, use_griffin_lim=use_gl, **kwargs)[0]
         dt = time.time() - t0
         save_wav(wav, out_path, self.audio_cfg.sample_rate)
         return len(wav) / self.audio_cfg.sample_rate / dt  # RTF

@@ -127,6 +127,13 @@ def test_pipeline_tts_with_fresh_weights(syn_dir, tmp_path):
     q = np.round(np.clip(fused32[0], -1, 1) * 32767).astype(np.int16)
     assert np.abs(q.astype(np.int32) - fused[0].astype(np.int32)).max() <= 1
 
+    # long-text path: chunks + silence breaks through the fused batch path
+    long = pipe.clone_voice_long("ni3 hao3. wo3 men qu4. zai4 jian4.",
+                                 ref, steps=40, min_stop_token=11,
+                                 max_chars=10, break_seconds=0.05)
+    assert long.dtype == np.float32
+    assert len(long) >= 3 * 200 * hop + 2 * int(0.05 * 16000)
+
 
 def test_vocoder_dataset_from_gta(syn_dir):
     from mockingbird_tpu.models.vocoder.wavernn_train import (WaveRnnDataset,
