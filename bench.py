@@ -31,12 +31,12 @@ def main():
         ref = wav
 
     pipe = VoiceCloningPipeline(verbose=False)
-    texts = ["ni3 hao3 shi4 jie4 zhe4 shi4 yi2 ge4 ce4 shi4 ju4 zi3"] * 32
+    texts = ["ni3 hao3 shi4 jie4 zhe4 shi4 yi2 ge4 ce4 shi4 ju4 zi3"] * 64
     steps = 400  # fixed AR workload; min_stop_token=11 disables early stop
 
     def run():
         return pipe.tts_batch(texts, ref, steps=steps, min_stop_token=11,
-                              batch_size=32, source_sr=sr)
+                              batch_size=64, source_sr=sr)
 
     wavs = run()  # warm-up (compiles embed + AR decode + vocoder programs)
 

@@ -184,13 +184,56 @@ def bench_encoder():
             "unit": "ms/step@64x10"}
 
 
+def bench_fregan():
+    import jax, jax.numpy as jnp, optax
+    from mockingbird_tpu.config import Config
+    from mockingbird_tpu.models.vocoder.fregan import (FreGanDiscriminators,
+                                                       FreGanGenerator,
+                                                       fregan_config)
+    from mockingbird_tpu.models.vocoder.gan_train import make_gan_step
+
+    cfg = Config(fregan_config()).freeze()
+    gen = FreGanGenerator(cfg)
+    t_mel = cfg.segment_size // cfg.hop_size
+    g_params = gen.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, t_mel, cfg.num_mels)))["params"]
+    disc = FreGanDiscriminators()
+    d_vars = dict(disc.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, cfg.segment_size)),
+                            jnp.zeros((1, cfg.segment_size))))
+    d_vars.setdefault("batch_stats", {})
+    tx_g = optax.adamw(2e-4, b1=0.8, b2=0.99)
+    tx_d = optax.adamw(2e-4, b1=0.8, b2=0.99)
+    g_opt, d_opt = tx_g.init(g_params), tx_d.init(d_vars["params"])
+    step = make_gan_step(gen, disc, tx_g, tx_d, cfg)
+    B = 16
+    rng = np.random.RandomState(0)
+    batch = dict(
+        mels=jnp.asarray(rng.randn(B, t_mel, cfg.num_mels), jnp.float32),
+        wavs=jnp.asarray(rng.randn(B, cfg.segment_size) * 0.1, jnp.float32))
+
+    def run(state):
+        g, d, go, do = state if state else (g_params, d_vars, g_opt, d_opt)
+        out = step(g, d, go, do, batch, 1, True)
+        for leaf in jax.tree.leaves(out[4:]):
+            if getattr(leaf, "ndim", None) == 0:
+                float(leaf)
+                break
+        return out[:4]
+
+    dt = _best(run)
+    return {"metric": "fregan_train_step", "value": round(dt * 1e3, 1),
+            "unit": "ms/step@batch16"}
+
+
 BENCHES = {"tacotron": bench_tacotron, "vits": bench_vits,
-           "hifigan": bench_hifigan, "encoder": bench_encoder}
+           "hifigan": bench_hifigan, "fregan": bench_fregan,
+           "encoder": bench_encoder}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--families", default="tacotron,vits,hifigan,encoder")
+    ap.add_argument("--families", default="tacotron,vits,hifigan,fregan,encoder")
     args = ap.parse_args()
     for fam in args.families.split(","):
         print(json.dumps(BENCHES[fam.strip()]()))
