@@ -85,14 +85,15 @@ def _ceil_to(n: int, m: int) -> int:
 
 
 class DataLoader:
-    """Minimal shuffling batch loader over an indexable dataset, yielding
-    collated numpy batches (host-side; the reference uses torch DataLoader
-    workers — here collation is cheap and the arrays stream straight to
-    device)."""
+    """Shuffling batch loader over an indexable dataset, yielding collated
+    numpy batches. A background thread prefetches `prefetch` batches ahead
+    (disk reads + collation overlap the device step — the host-side analogue
+    of the reference's torch DataLoader workers), keeping the TPU's input
+    queue full without multiprocessing."""
 
     def __init__(self, dataset, batch_size: int, collate_fn, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0,
-                 length_sort: bool = True):
+                 length_sort: bool = True, prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -100,6 +101,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.rng = random.Random(seed)
         self.length_sort = length_sort
+        self.prefetch = prefetch
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -107,7 +109,7 @@ class DataLoader:
             n += 1
         return max(n, 0)
 
-    def __iter__(self) -> Iterator[dict]:
+    def _batches(self) -> Iterator[dict]:
         order = list(range(len(self.dataset)))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -117,3 +119,45 @@ class DataLoader:
             chunks = [c for c in chunks if len(c) == bs]
         for chunk in chunks:
             yield self.collate_fn([self.dataset[i] for i in chunk])
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        import queue as _queue
+        import threading
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=self.prefetch)
+        _END, _ERR = object(), object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
+        def worker():
+            try:
+                for b in self._batches():
+                    if not _put(b):
+                        return  # consumer abandoned the epoch
+                _put(_END)
+            except BaseException as e:  # propagate to the consumer
+                _put((_ERR, e))
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()  # unblock + retire the worker if we exit early

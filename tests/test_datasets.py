@@ -126,3 +126,38 @@ def test_acquire_end_to_end_with_fake_fetch(tmp_path, monkeypatch):
                            log=lambda s: None)
     assert out == [tmp_path / "toy"]
     assert (tmp_path / "toy" / "x.wav").read_bytes() == b"X"
+
+
+def test_dataloader_prefetch_and_early_exit():
+    """Prefetching loader yields the same batches as the synchronous path,
+    propagates worker exceptions, and retires its thread on early exit."""
+    import threading
+    from mockingbird_tpu.models.tacotron.dataset import DataLoader
+
+    data = list(range(23))
+    collate = lambda xs: sum(xs)
+    sync = DataLoader(data, 4, collate, seed=3, prefetch=0)
+    pre = DataLoader(data, 4, collate, seed=3, prefetch=2)
+    assert list(sync) == list(pre)
+
+    # worker exception propagates
+    def boom(xs):
+        raise ValueError("bad batch")
+    bad = DataLoader(data, 4, boom, seed=0, prefetch=2)
+    try:
+        list(bad)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+    # early exit retires the worker thread
+    n0 = threading.active_count()
+    it = iter(DataLoader(data, 4, collate, seed=1, prefetch=1))
+    next(it)
+    it.close()
+    import time
+    for _ in range(50):
+        if threading.active_count() <= n0:
+            break
+        time.sleep(0.05)
+    assert threading.active_count() <= n0 + 1
