@@ -79,11 +79,12 @@ class VoiceCloningPipeline:
         return [self.vocoder.infer_waveform(s) for s in specs]
 
     def tts_batch(self, texts: Union[str, List[str]],
-                  ref_wav: Union[str, Path, np.ndarray],
+                  ref_wav: Union[str, Path, np.ndarray, None],
                   style_idx: int = 0, min_stop_token: int = 5,
                   steps: int = 1000, batch_size: int = 32,
                   source_sr: Optional[int] = None,
-                  pcm16: bool = True) -> List[np.ndarray]:
+                  pcm16: bool = True,
+                  embed: Optional[np.ndarray] = None) -> List[np.ndarray]:
         """Fused on-device TTS: text → mel → waveform without any host
         round-trip between stages; one int16-PCM transfer per batch.
 
@@ -99,7 +100,8 @@ class VoiceCloningPipeline:
             return self.clone_voice(texts, ref_wav, style_idx=style_idx,
                                     min_stop_token=min_stop_token, steps=steps,
                                     source_sr=source_sr)
-        embed = self.embed_reference(ref_wav, source_sr)
+        embed = (self.embed_reference(ref_wav, source_sr) if embed is None
+                 else np.asarray(embed, np.float32))
         hop = self.vocoder.cfg.hop_size
         # two-phase software pipeline: dispatch every chunk's device program
         # first (JAX dispatch is async), then fetch in order — chunk k+1

@@ -17,6 +17,8 @@ Endpoints:
   POST /api/synthesize_mel → JSON {text, utterance, seed, style_idx} → mel
   POST /api/vocode       → JSON {vocoder} → audio/wav of current spec
   POST /api/synthesize   → multipart {text, ref} → audio/wav  (one-shot)
+  POST /api/stream_tts   → multipart {text, ref} → streaming audio/wav
+                           (sentence chunks; PCM flushed as each synthesizes)
   POST /api/convert      → multipart {ref, src[, vocoder]} → audio/wav
   POST /api/preprocess   → {"datasets_root", "dataset"} → job started
   POST /api/train        → {"kind", "syn_dir", "run_id", ...} → job started
@@ -112,6 +114,43 @@ def make_handler(toolbox: WebToolbox, jobs: _Jobs):
             length = int(self.headers.get("Content-Length", 0))
             return json.loads(self.rfile.read(length) or b"{}")
 
+        def _stream_tts(self, text: str, ref_wav: np.ndarray,
+                        break_seconds: float = 0.15) -> None:
+            """Chunked low-latency TTS: sentence chunks synthesize through the
+            fused on-device path and their int16 PCM streams out as each
+            finishes — first audio after one chunk, not the whole text. The
+            WAV header uses the 0xFFFFFFFF streaming convention; connection
+            close delimits the body (no Content-Length)."""
+            import struct
+            from ..text.long_text import normalize_text, split_text
+
+            pipe = tb.pipeline
+            embed = pipe.embed_reference(ref_wav)
+            chunks = split_text(normalize_text(text)) or [text]
+            sr = tb.sample_rate
+
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("X-Sample-Rate", str(sr))
+            self.send_header("X-Chunks", str(len(chunks)))
+            self.end_headers()
+            hdr = (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+                   + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+                   + b"data" + struct.pack("<I", 0xFFFFFFFF))
+            self.wfile.write(hdr)
+            self.wfile.flush()
+            silence = np.zeros(int(sr * break_seconds), np.int16).tobytes()
+            for i, chunk in enumerate(chunks):
+                # embed short-circuits the fused path; ref_wav covers the
+                # staged fallback (e.g. a VITS pipeline)
+                pcm = pipe.tts_batch([chunk], ref_wav, embed=embed)[0]
+                if pcm.dtype != np.int16:  # non-fused fallback (e.g. VITS)
+                    pcm = np.round(np.clip(pcm, -1, 1) * 32767).astype(np.int16)
+                self.wfile.write(pcm.tobytes())
+                if i < len(chunks) - 1:
+                    self.wfile.write(silence)
+                self.wfile.flush()
+
         def do_GET(self):
             try:
                 url = urllib.parse.urlparse(self.path)
@@ -183,6 +222,14 @@ def make_handler(toolbox: WebToolbox, jobs: _Jobs):
                     res = tb.vocode(fields.get("vocoder", "hifigan"))
                     self._send(200, _wav_bytes(tb.current_wav, tb.sample_rate),
                                "audio/wav", {"X-RTF": f"{res['rtf']:.1f}"})
+                elif self.path == "/api/stream_tts":
+                    fields = _parse_multipart(self)
+                    text = fields.get("text", "")
+                    ref = fields.get("ref")
+                    if not text or ref is None:
+                        return self._send(400, {"error": "need text + ref wav"})
+                    wav_ref = read_audio(ref, tb.sample_rate)
+                    self._stream_tts(text, wav_ref)
                 elif self.path == "/api/convert":
                     fields = _parse_multipart(self)
                     ref = read_audio(fields["ref"], tb.sample_rate)

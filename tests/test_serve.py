@@ -56,6 +56,14 @@ class _FakePipeline:
         self.encoder = _FakeEncoder()
         self.synthesizer = _FakeSynth()
 
+    def embed_reference(self, ref_wav, source_sr=None):
+        return self.encoder.embed_utterance(np.asarray(ref_wav))
+
+    def tts_batch(self, texts, ref_wav, embed=None, **kw):
+        rng = np.random.default_rng(1)
+        return [(rng.uniform(-1, 1, 4000) * 32767).astype(np.int16)
+                for _ in texts]
+
 
 class _FakeVocoder:
     def infer_waveform(self, mel):
@@ -213,3 +221,18 @@ def test_read_audio_bytes_roundtrip():
     assert wav.dtype == np.float32 and 7900 < len(wav) <= 8000 + 1
     spec = np.abs(np.fft.rfft(wav))
     assert abs(np.argmax(spec) * 16000 / len(wav) - 220) < 5
+
+
+def test_stream_tts(server):
+    """Streaming endpoint: RIFF streaming header + one PCM run per chunk."""
+    data, hdrs = _post_multipart(server + "/api/stream_tts", {
+        "text": (None, "hello one. hello two. hello three."),
+        "ref": ("ref.wav", _wav_payload())})
+    assert hdrs.get("Content-Type") == "audio/wav"
+    assert int(hdrs.get("X-Chunks", 0)) >= 1
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    n_chunks = int(hdrs["X-Chunks"])
+    sr = int(hdrs["X-Sample-Rate"])
+    silence = (n_chunks - 1) * int(sr * 0.15) * 2
+    expect = 44 + n_chunks * 4000 * 2 + silence
+    assert len(data) == expect
