@@ -70,7 +70,10 @@ class Config(dict):
 
     # -- merging / overrides ------------------------------------------------
     def merge(self, other: Dict[str, Any]) -> "Config":
-        """Deep-merge ``other`` into self (nested dicts merge, scalars replace)."""
+        """Deep-merge ``other`` into self (nested dicts merge, scalars replace).
+        Accepts a FrozenConfig (or any namespace) as well as a dict."""
+        if isinstance(other, SimpleNamespace):
+            other = vars(other)
         for k, v in other.items():
             if isinstance(v, dict) and isinstance(self.get(k), Config):
                 self[k].merge(v)

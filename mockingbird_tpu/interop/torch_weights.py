@@ -155,8 +155,15 @@ def convert_hifigan_generator(sd: Dict[str, np.ndarray], cfg) -> Dict:
     _wn_entry(p, "conv_pre", wn_conv1d(sd, "conv_pre"))
     _wn_entry(p, "conv_post", wn_conv1d(sd, "conv_post"))
     n_k = len(cfg.resblock_kernel_sizes)
+    # 24 kHz variant (`models.py:107-118`): ups.{i} is Sequential(Interpolation,
+    # weight-normed Conv1d) so the conv's keys sit at ups.{i}.1
+    use_interp = bool(getattr(cfg, "use_interpolation", False)
+                      or getattr(cfg, "sample_rate", 16000) == 24000)
     for i in range(len(cfg.upsample_rates)):
-        _wn_entry(p, f"ups_{i}", wn_conv_transpose1d(sd, f"ups.{i}"))
+        if use_interp:
+            _wn_entry(p, f"ups_{i}", wn_conv1d(sd, f"ups.{i}.1"))
+        else:
+            _wn_entry(p, f"ups_{i}", wn_conv_transpose1d(sd, f"ups.{i}"))
         for j in range(n_k):
             blk: Dict = {}
             flat = i * n_k + j

@@ -138,6 +138,35 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, arch: str = "hifigan",
     loader = DataLoader(dataset, cfg.batch_size, collate_gan, seed=seed)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
 
+    # validation (`hifigan/train.py:198-244`): held-out mel error + TB audio.
+    # TPU-first: fixed segment crops (one compiled program) instead of the
+    # reference's variable-length batch-1 loop.
+    val_dataset = MelDataset(val_files, cfg, syn_dir=syn_dir,
+                             fine_tuning=fine_tuning, split=True, seed=seed)
+
+    @jax.jit
+    def val_fn(gp, mels, y):
+        y_hat = gen.apply({"params": gp}, mels)
+        err = jnp.mean(jnp.abs(mel_loss_fn(y, fcfg) - mel_loss_fn(y_hat, fcfg)))
+        return y_hat, err
+
+    def validate(gp, step):
+        n = len(val_dataset)
+        if n == 0:
+            return
+        b = cfg.batch_size
+        n_batches = min(4, max(1, n // b))
+        errs, first_audio = [], None
+        for bi in range(n_batches):
+            vb = collate_gan([val_dataset[(bi * b + j) % n] for j in range(b)])
+            y_hat, err = val_fn(gp, jnp.asarray(vb["mels"]), jnp.asarray(vb["wavs"]))
+            errs.append(float(err))
+            if first_audio is None:
+                first_audio = np.asarray(y_hat[0])
+        tb.scalars(step, **{"val/mel_err": float(np.mean(errs))})
+        tb.audio(step, "val/gen_audio", first_audio, cfg.sample_rate)
+        print(f"step {step} | val mel err {np.mean(errs):.4f}")
+
     step_fn = make_gan_step(gen, disc, tx_g, tx_d, fcfg)
     t0, accs = time.time(), []
     done = False
@@ -157,6 +186,8 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, arch: str = "hifigan",
                 tb.scalars(step, **{"train/gen": g, "train/disc": d,
                                     "train/mel": ml / 45, "train/ms_per_step": dt * 1000})
                 t0, accs = time.time(), []
+            if val_every and step % val_every == 0:
+                validate(g_params, step)
             if save_every and step % save_every == 0:
                 ckpt.save(step, {"g": g_params, "d": d_vars, "g_opt": g_opt, "d_opt": d_opt})
             step += 1

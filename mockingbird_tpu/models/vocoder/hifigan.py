@@ -31,6 +31,7 @@ LRELU_SLOPE = 0.1
 def hifigan_config() -> Config:
     """16 kHz config (`config_16k_.json`)."""
     return Config(
+        use_interpolation=False,   # True = 24 kHz variant (`models.py:107-118`)
         resblock="1",
         upsample_rates=[5, 5, 4, 2],
         upsample_kernel_sizes=[10, 10, 8, 4],
@@ -108,17 +109,29 @@ class Generator(nn.Module):
         res_cls = ResBlock1 if c.resblock == "1" else ResBlock2
         num_kernels = len(c.resblock_kernel_sizes)
 
+        use_interp = bool(getattr(c, "use_interpolation", False)
+                          or getattr(c, "sample_rate", 16000) == 24000)
         for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
             ch = c.upsample_initial_channel // (2 ** (i + 1))
             x = nn.leaky_relu(x, LRELU_SLOPE)
             t_in = x.shape[1]
-            x = nn.WeightNorm(
-                nn.ConvTranspose(ch, (k,), strides=(u,), padding="VALID",
-                                 name=f"ups_{i}_conv"), name=f"ups_{i}")(x)
-            # torch ConvTranspose1d(pad=u//2+u%2, output_padding=u%2) == the
-            # VALID (full) transposed conv sliced at that offset
-            off = u // 2 + u % 2
-            x = x[:, off : off + t_in * u]
+            if use_interp:
+                # 24 kHz variant (`models.py:107-118`): nearest-neighbour
+                # upsample (InterpolationBlock, mode='nearest') + Conv1d with
+                # torch padding (k-1)//2
+                x = jnp.repeat(x, u, axis=1)
+                p = (k - 1) // 2
+                x = jnp.pad(x, ((0, 0), (p, p), (0, 0)))
+                x = nn.WeightNorm(nn.Conv(ch, (k,), padding="VALID",
+                                          name=f"ups_{i}_conv"), name=f"ups_{i}")(x)
+            else:
+                x = nn.WeightNorm(
+                    nn.ConvTranspose(ch, (k,), strides=(u,), padding="VALID",
+                                     name=f"ups_{i}_conv"), name=f"ups_{i}")(x)
+                # torch ConvTranspose1d(pad=u//2+u%2, output_padding=u%2) == the
+                # VALID (full) transposed conv sliced at that offset
+                off = u // 2 + u % 2
+                x = x[:, off : off + t_in * u]
             xs = None
             for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
                                              c.resblock_dilation_sizes)):

@@ -223,17 +223,19 @@ class WaveRnnVocoder:
     (`wavernn/inference.py:8-64`)."""
 
     def __init__(self, model_fpath: Optional[Union[str, Path]] = None,
-                 cfg=None, verbose: bool = True, seed: int = 0):
+                 cfg=None, verbose: bool = True, seed: int = 0,
+                 variables: Optional[dict] = None):
         self.cfg = Config(wavernn_config()).merge(cfg or {})
         fcfg = self.cfg.freeze()
         self.model = WaveRNN(fcfg)
         total = int(np.prod(self.cfg.upsample_factors))
         assert total == self.cfg.hop_size, \
             f"upsample factors {self.cfg.upsample_factors} must factorise hop {self.cfg.hop_size}"
-        variables = self.model.init(
-            jax.random.PRNGKey(seed),
-            jnp.zeros((1, 2 * self.cfg.hop_size)),
-            jnp.zeros((1, 2 + 2 * self.cfg.pad, self.cfg.feat_dims)))
+        if variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, 2 * self.cfg.hop_size)),
+                jnp.zeros((1, 2 + 2 * self.cfg.pad, self.cfg.feat_dims)))
         if model_fpath is not None and Path(model_fpath).exists():
             loaded = load_single(model_fpath)
             variables = {"params": jax.tree.map(jnp.asarray, loaded["params"]),

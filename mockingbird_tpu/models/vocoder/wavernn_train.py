@@ -118,9 +118,41 @@ def make_wavernn_step(model: WaveRNN, tx, mode: str):
     return step_fn
 
 
+def gen_testset(variables, dataset: WaveRnnDataset, save_path: Path, cfg,
+                samples: int = 2, batched: bool = True, step: int = 0,
+                tb: Optional[TrainLogger] = None):
+    """Per-checkpoint sample generation (`wavernn/train.py:125-126`,
+    `gen_wavernn.py:1-31`): ground-truth + generated wavs for the first
+    `samples` utterances, saved to `save_path` and TensorBoard."""
+    from ...dsp import decode_mu_law, save_wav
+    from .wavernn import WaveRnnVocoder
+
+    voc = WaveRnnVocoder(cfg=cfg, verbose=False, variables=variables)
+    save_path = Path(save_path)
+    save_path.mkdir(parents=True, exist_ok=True)
+    batch_str = f"gen_batched_target{cfg.gen_target}_overlap{cfg.gen_overlap}" \
+        if batched else "gen_not_batched"
+    for i in range(min(samples, len(dataset))):
+        mel, quant = dataset[i]
+        bits = 16 if cfg.mode == "MOL" else cfg.bits
+        if cfg.mu_law and cfg.mode != "MOL":
+            gt = decode_mu_law(quant, 2 ** bits, from_labels=True)
+        else:
+            gt = label_2_float(quant.astype(np.float32), bits)
+        save_wav(gt.astype(np.float32), save_path / f"{step}_steps_{i}_target.wav",
+                 cfg.sample_rate)
+        # dataset mels are already ±1 (pre-divided by mel_max_abs_value)
+        wav = voc.infer_waveform(mel, normalize=False, batched=batched)
+        save_wav(wav, save_path / f"{step}_steps_{i}_{batch_str}.wav",
+                 cfg.sample_rate)
+        if tb is not None:
+            tb.audio(step, f"gen/sample_{i}", wav, cfg.sample_rate)
+
+
 def train(run_id: str, syn_dir: Path, models_dir: Path, ground_truth: bool = False,
           total_steps: Optional[int] = None, save_every: int = 1000,
-          log_every: int = 10, cfg=None, seed: int = 0, use_mesh: bool = True):
+          log_every: int = 10, cfg=None, seed: int = 0, use_mesh: bool = True,
+          gen_samples: int = 2):
     syn_dir = Path(syn_dir)
     cfg = Config(wavernn_config()).merge(cfg or {})
     fcfg = cfg.freeze()
@@ -170,6 +202,10 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, ground_truth: bool = Fal
             if save_every and step % save_every == 0:
                 ckpt.save(step, {"params": params, "batch_stats": batch_stats,
                                  "opt_state": opt_state})
+                if gen_samples:
+                    gen_testset({"params": params, "batch_stats": batch_stats},
+                                dataset, Path(models_dir) / run_id / "samples_wavernn",
+                                cfg, samples=gen_samples, step=step, tb=tb)
             step += 1
             if total_steps and step > total_steps:
                 done = True

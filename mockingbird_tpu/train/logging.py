@@ -61,9 +61,32 @@ class TrainLogger:
                 self.writer.add_scalar(k, float(v), step)
 
     def audio(self, step: int, tag: str, wav: np.ndarray, sr: int = 16000):
-        if self.writer:
+        if not self.writer:
+            return
+        # tensorboardX.add_audio requires soundfile; encode the WAV ourselves
+        # (stdlib wave) and emit the Summary proto directly
+        try:
+            import io
+            import wave as wave_mod
+            from tensorboardX.proto.summary_pb2 import Summary
+
             peak = max(1e-3, float(np.max(np.abs(wav))))
-            self.writer.add_audio(tag, np.asarray(wav) / peak, step, sample_rate=sr)
+            pcm = np.round(np.clip(np.asarray(wav, np.float32) / peak, -1, 1)
+                           * 32767).astype("<i2")
+            buf = io.BytesIO()
+            with wave_mod.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes(pcm.tobytes())
+            audio = Summary.Audio(sample_rate=sr, num_channels=1,
+                                  length_frames=len(pcm),
+                                  encoded_audio_string=buf.getvalue(),
+                                  content_type="audio/wav")
+            self.writer._get_file_writer().add_summary(
+                Summary(value=[Summary.Value(tag=tag, audio=audio)]), step)
+        except Exception:
+            pass
 
     def image(self, step: int, tag: str, img: np.ndarray):
         """img (H, W) or (H, W, C) in [0, 1]."""

@@ -135,6 +135,36 @@ def test_pipeline_tts_with_fresh_weights(syn_dir, tmp_path):
     assert len(long) >= 3 * 200 * hop + 2 * int(0.05 * 16000)
 
 
+def test_wavernn_train_with_gen_testset(syn_dir, tmp_path):
+    """Trainer + per-checkpoint sample generation (`wavernn/train.py:125-126`)."""
+    from mockingbird_tpu.models.vocoder import wavernn_config
+    from mockingbird_tpu.models.vocoder.wavernn_train import train
+
+    cfg = Config(wavernn_config()).merge(dict(
+        rnn_dims=32, fc_dims=32, compute_dims=16, res_out_dims=16, res_blocks=2,
+        seq_len=256 * 2, batch_size=2, gen_target=2000, gen_overlap=200))
+    train("wr_run", syn_dir, tmp_path, ground_truth=True, total_steps=2,
+          save_every=2, log_every=1, cfg=cfg, use_mesh=False, gen_samples=1)
+    samples = sorted((tmp_path / "wr_run" / "samples_wavernn").glob("*.wav"))
+    # one target + one generated wav at the step-2 checkpoint
+    assert len(samples) >= 2, samples
+    from scipy.io import wavfile
+    sr, wav = wavfile.read(samples[0])
+    assert sr == cfg.sample_rate and len(wav) > 0
+
+
+def test_gan_train_with_validation(syn_dir, tmp_path, capsys):
+    """GAN trainer validation pass (`hifigan/train.py:198-244`)."""
+    from mockingbird_tpu.models.vocoder.gan_train import train
+
+    cfg = dict(upsample_initial_channel=32, resblock_kernel_sizes=[3],
+               resblock_dilation_sizes=[[1, 3]], segment_size=2000,
+               batch_size=2)
+    train("gan_run", syn_dir, tmp_path, arch="hifigan", total_steps=2,
+          save_every=0, log_every=1, val_every=2, cfg=cfg, use_mesh=False)
+    assert "val mel err" in capsys.readouterr().out
+
+
 def test_vocoder_dataset_from_gta(syn_dir):
     from mockingbird_tpu.models.vocoder.wavernn_train import (WaveRnnDataset,
                                                               collate_wavernn)

@@ -50,6 +50,29 @@ def test_hifigan_generator_equivalence():
     np.testing.assert_allclose(yf, yt, atol=1e-5)
 
 
+def test_hifigan_generator_24k_interpolation_equivalence():
+    """24 kHz variant: Interpolation+Conv1d upsampling (`models.py:107-118`)."""
+    from mockingbird_tpu.interop import (convert_hifigan_generator,
+                                         load_reference_hifigan_generator,
+                                         state_dict_to_numpy)
+    from mockingbird_tpu.models.vocoder import Generator, hifigan_config
+
+    cfg = Config(hifigan_config()).merge(dict(
+        sample_rate=24000, use_interpolation=True,
+        upsample_rates=[5, 4], upsample_kernel_sizes=[9, 7],
+        upsample_initial_channel=64, resblock_kernel_sizes=[3, 5],
+        resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]]))
+    tg = load_reference_hifigan_generator(cfg).eval()
+    params = convert_hifigan_generator(state_dict_to_numpy(tg.state_dict()), cfg)
+    gen = Generator(cfg.freeze())
+    x = np.random.RandomState(0).randn(2, 13, 80).astype(np.float32)
+    with torch.no_grad():
+        yt = tg(torch.from_numpy(x.transpose(0, 2, 1))).numpy()[:, 0, :]
+    yf = np.asarray(gen.apply({"params": jax.tree.map(jnp.asarray, params)},
+                              jnp.asarray(x)))
+    np.testing.assert_allclose(yf, yt, atol=1e-5)
+
+
 def test_wavernn_equivalence():
     from mockingbird_tpu.interop import (convert_wavernn, load_reference_wavernn,
                                          state_dict_to_numpy)
