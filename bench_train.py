@@ -175,7 +175,7 @@ def bench_encoder():
 
     def run(state):
         p, o = state if state else (params, opt)
-        p, o, loss, eer = step(p, o, batch)
+        p, o, loss, eer, _ = step(p, o, batch)
         float(loss)
         return p, o
 

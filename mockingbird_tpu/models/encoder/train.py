@@ -38,17 +38,19 @@ def make_train_step(model: SpeakerEncoder, tx: optax.GradientTransformation,
         frames = batch.reshape(s * u, *batch.shape[2:])
         embeds = model.apply({"params": params["model"]}, frames).reshape(s, u, -1)
         loss, sim = ge2e_loss(embeds, params["similarity"]["weight"], params["similarity"]["bias"])
-        return loss, sim
+        return loss, (sim, embeds)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch):
-        (loss, sim), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+        (loss, (sim, embeds)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
         # reference `model.py:33-39`: scale similarity grads ×0.01 before clipping
         grads["similarity"] = jax.tree.map(lambda g: g * 0.01, grads["similarity"])
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         eer = equal_error_rate(sim, speakers_per_batch, utterances_per_speaker)
-        return params, opt_state, loss, eer
+        # embeds ride along for UMAP projections (`encoder/train.py:96-105`);
+        # only fetched at vis steps
+        return params, opt_state, loss, eer, embeds
 
     return train_step
 
@@ -60,7 +62,7 @@ def train(run_id: str, clean_data_root: Path, models_dir: Path,
           utterances_per_speaker: int = UTTERANCES_PER_SPEAKER,
           learning_rate: float = LEARNING_RATE_INIT,
           force_restart: bool = False, log_every: int = 10,
-          use_mesh: bool = True):
+          vis_every: int = 100, use_mesh: bool = True):
     dataset = SpeakerVerificationDataset(Path(clean_data_root))
     sampler = SpeakerBatchSampler(dataset, speakers_per_batch, utterances_per_speaker,
                                   PARTIALS_N_FRAMES)
@@ -84,11 +86,25 @@ def train(run_id: str, clean_data_root: Path, models_dir: Path,
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     train_step = make_train_step(model, tx, speakers_per_batch, utterances_per_speaker)
 
+    vis_dir = model_dir / "umap"
     t0, losses, eers = time.time(), [], []
     for step, batch in enumerate(sampler, init_step):
         batch = shard_batch(mesh, jnp.asarray(batch))
-        params, opt_state, loss, eer = train_step(params, opt_state, batch)
+        params, opt_state, loss, eer, embeds = train_step(params, opt_state, batch)
         losses.append(float(loss)); eers.append(float(eer))
+
+        if vis_every and step % vis_every == 0:
+            # UMAP/PCA projection PNG (`encoder/train.py:96-105`,
+            # `visualizations.py:155-173`)
+            try:
+                import numpy as _np
+                from ...train.visualizations import draw_projections
+                vis_dir.mkdir(parents=True, exist_ok=True)
+                e = _np.asarray(embeds).reshape(-1, embeds.shape[-1])
+                draw_projections(e, utterances_per_speaker, step,
+                                 vis_dir / f"umap_{step:06d}.png")
+            except Exception:
+                pass
 
         if step % log_every == 0:
             dt = (time.time() - t0) / log_every
@@ -98,9 +114,11 @@ def train(run_id: str, clean_data_root: Path, models_dir: Path,
                                 "train/eer": sum(eers) / len(eers),
                                 "train/ms_per_step": dt * 1000})
             t0, losses, eers = time.time(), [], []
-        if save_every and step % save_every == 0:
+        saved = save_every and step % save_every == 0
+        if saved:
             ckpt.save(step, {"params": params, "opt_state": opt_state})
         if total_steps is not None and step >= total_steps:
-            ckpt.save(step, {"params": params, "opt_state": opt_state}, force=True)
+            if not saved:
+                ckpt.save(step, {"params": params, "opt_state": opt_state}, force=True)
             break
     return params

@@ -116,10 +116,32 @@ def make_vc_step(model: MelDecoderMOLv2, tx):
     return step_fn
 
 
+def make_vc_val_fn(model: MelDecoderMOLv2):
+    """Eval-mode forward: masked mel MSE + attention, for the dev-split
+    validation pass (`train/solver.py:13-216`, best-loss tracking
+    `train_linglf02mel_seq2seq_oneshotvc.py:242-245`)."""
+
+    @jax.jit
+    def val_fn(params, batch_stats, batch):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["ppgs"], batch["lengths"], batch["mels"], batch["lengths"],
+            batch["lf0s"], batch["embeds"], False,
+            rngs={"dropout": jax.random.PRNGKey(0)})
+        mel, post, stop, aligns = out
+        from ..vits.modules import sequence_mask
+        mask = sequence_mask(batch["lengths"], batch["mels"].shape[1])[..., None]
+        l_mel = masked_mse(mel, batch["mels"], mask) + masked_mse(post, batch["mels"], mask)
+        return l_mel, aligns
+
+    return val_fn
+
+
 def train(run_id: str, vc_dir: Path, models_dir: Path, cfg=None,
           batch_size: int = 8, learning_rate: float = 5e-4,
           total_steps: Optional[int] = None, save_every: int = 2000,
-          log_every: int = 10, seed: int = 0, use_mesh: bool = True):
+          log_every: int = 10, val_every: int = 500, seed: int = 0,
+          use_mesh: bool = True):
     cfg = Config(ppg2mel_config()).merge(cfg or {})
     model, variables = init_ppg2mel(jax.random.PRNGKey(seed), cfg)
     params, batch_stats = variables["params"], variables["batch_stats"]
@@ -147,6 +169,53 @@ def train(run_id: str, vc_dir: Path, models_dir: Path, cfg=None,
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     step_fn = make_vc_step(model, tx)
 
+    # dev-split validation with best-loss checkpoint + attention plot
+    dev = None
+    if (Path(vc_dir) / "dev_fidlist.txt").exists():
+        try:
+            dev = OneshotVcDataset(vc_dir, "dev")
+        except Exception:
+            dev = None
+    val_fn = make_vc_val_fn(model)
+    best_ckpt = CheckpointManager(Path(models_dir) / run_id / "ckpt_ppg2mel_best")
+    best_loss = [np.inf]
+    attn_dir = Path(models_dir) / run_id / "attn"
+
+    def validate(params, batch_stats, opt_state, step):
+        if dev is None or len(dev) == 0:
+            return
+        losses, first_attn = [], None
+        n = min(len(dev), 4 * batch_size)
+        for i0 in range(0, n, batch_size):
+            vb = collate_vc([dev[j] for j in range(i0, min(i0 + batch_size, n))],
+                            cfg.frames_per_step, down)
+            l, aligns = val_fn(params, batch_stats, jax.tree.map(jnp.asarray, vb))
+            losses.append(float(l))
+            if first_attn is None:
+                first_attn = np.asarray(aligns)[0]
+        v = float(np.mean(losses))
+        print(f"step {step} | dev mel loss {v:.4f}" +
+              (" (best)" if v < best_loss[0] else ""))
+        tb.scalars(step, **{"dev/mel": v})
+        tb.alignment(step, "dev/attention", first_attn)
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            attn_dir.mkdir(parents=True, exist_ok=True)
+            fig, ax = plt.subplots(figsize=(6, 4))
+            ax.imshow(first_attn.T, aspect="auto", origin="lower",
+                      interpolation="none")
+            ax.set_xlabel("decoder step"); ax.set_ylabel("memory")
+            fig.savefig(attn_dir / f"attention_{step:06d}.png", dpi=80)
+            plt.close(fig)
+        except Exception:
+            pass
+        if v < best_loss[0]:
+            best_loss[0] = v
+            best_ckpt.save(step, {"params": params, "batch_stats": batch_stats,
+                                  "opt_state": opt_state}, force=True)
+
     t0, acc = time.time(), []
     done = False
     while not done:
@@ -163,6 +232,8 @@ def train(run_id: str, vc_dir: Path, models_dir: Path, cfg=None,
                 tb.scalars(step, **{"train/loss": l, "train/mel": m,
                                     "train/ms_per_step": dt * 1000})
                 t0, acc = time.time(), []
+            if val_every and step % val_every == 0:
+                validate(params, batch_stats, opt_state, step)
             if save_every and step % save_every == 0:
                 ckpt.save(step, {"params": params, "batch_stats": batch_stats,
                                  "opt_state": opt_state})

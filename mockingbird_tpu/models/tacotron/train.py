@@ -77,13 +77,16 @@ def make_train_step(model: Tacotron, tx, r: int):
                 batch["texts"], batch["mels"], batch["embeds"], r, True,
                 rngs={"dropout": dk, "zoneout": zk}, mutable=["batch_stats"])
             loss, parts = tacotron_loss(out, batch)
-            return loss, (parts, mut["batch_stats"], out[2])
+            # out[1] (postnet mel) rides along for eval artifacts, like the
+            # reference's m2_hat (`train.py:246-265`); it costs nothing until
+            # the host fetches it at an eval step
+            return loss, (parts, mut["batch_stats"], out[2], out[1])
 
-        (loss, (parts, new_stats, attn)), grads = jax.value_and_grad(
+        (loss, (parts, new_stats, attn, post)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return (params, new_stats), opt_state, loss, parts, attn
+        return (params, new_stats), opt_state, loss, parts, attn, post
 
     return step_fn
 
@@ -151,7 +154,7 @@ def train(run_id: str, syn_dir: Path, models_dir: Path,
             for batch in loader:
                 batch = shard_batch(mesh, jax.tree.map(jnp.asarray, batch))
                 key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
-                (params, batch_stats), opt_state, loss, parts, attn = step_fn(
+                (params, batch_stats), opt_state, loss, parts, attn, post = step_fn(
                     (params, batch_stats), opt_state, batch, key)
                 loss_acc.append(float(loss))
 
@@ -168,7 +171,8 @@ def train(run_id: str, syn_dir: Path, models_dir: Path,
                     ckpt.save(step, {"params": params, "batch_stats": batch_stats,
                                      "opt_state": opt_state})
                 if eval_every and step % eval_every == 0:
-                    _save_eval_artifacts(eval_dir, step, batch, attn)
+                    _save_eval_artifacts(eval_dir, step, batch, attn, post,
+                                         audio_cfg, tb=tb, loss=float(loss))
                     tb.alignment(step, "train/attention", np.asarray(attn)[0].T)
                 step += 1
                 if step >= max_step or (total_steps and step > total_steps):
@@ -184,8 +188,11 @@ def train(run_id: str, syn_dir: Path, models_dir: Path,
     return {"params": params, "batch_stats": batch_stats}
 
 
-def _save_eval_artifacts(eval_dir: Path, step: int, batch, attn):
-    """Attention plot PNG (`train.py:240-277` analogue)."""
+def _save_eval_artifacts(eval_dir: Path, step: int, batch, attn, post=None,
+                         audio_cfg=None, tb=None, loss: float = 0.0):
+    """Eval artifacts for sample 0 of the training batch, mirroring
+    `eval_model` (`train.py:240-277, 286-316`): attention PNG, predicted-mel
+    .npy, Griffin-Lim wav, and predicted-vs-target mel plot (+ TensorBoard)."""
     try:
         import matplotlib
         matplotlib.use("Agg")
@@ -196,6 +203,36 @@ def _save_eval_artifacts(eval_dir: Path, step: int, batch, attn):
         ax.set_xlabel("decoder step"); ax.set_ylabel("char")
         fig.savefig(eval_dir / f"attention_{step:06d}.png", dpi=80)
         plt.close(fig)
+    except Exception:
+        pass
+    if post is None or audio_cfg is None:
+        return
+    try:
+        from ...dsp import inv_mel_spectrogram, save_wav
+
+        m_len = int(np.asarray(batch["mel_lengths"])[0])
+        pred = np.asarray(post)[0][:m_len]                   # (T, M)
+        target = np.asarray(batch["mels"])[0][:m_len]
+        np.save(eval_dir / f"mel-prediction-step-{step:06d}.npy", pred,
+                allow_pickle=False)
+
+        wav = np.asarray(inv_mel_spectrogram(jnp.asarray(pred), audio_cfg))
+        save_wav(wav, eval_dir / f"step-{step:06d}-wave-from-mel.wav",
+                 audio_cfg.sample_rate)
+
+        import matplotlib.pyplot as plt
+        fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(8, 5), sharex=True)
+        ax1.imshow(target.T, aspect="auto", origin="lower", interpolation="none")
+        ax1.set_title(f"target | step {step} loss {loss:.4f}")
+        ax2.imshow(pred.T, aspect="auto", origin="lower", interpolation="none")
+        ax2.set_title("predicted")
+        fig.savefig(eval_dir / f"step-{step:06d}-mel-spectrogram.png", dpi=80)
+        plt.close(fig)
+
+        if tb is not None:
+            tb.audio(step, "eval/griffin_lim", wav, audio_cfg.sample_rate)
+            tb.image(step, "eval/mel_predicted",
+                     (pred.T - pred.min()) / max(pred.max() - pred.min(), 1e-6))
     except Exception:
         pass
 

@@ -258,8 +258,8 @@ def make_vits_step(model: Vits, disc: VitsDiscriminator, tx_g, tx_d, cfg):
 
 def train(run_id: str, syn_dir: Path, models_dir: Path, cfg=None,
           batch_size: int = 16, total_steps: Optional[int] = None,
-          save_every: int = 2000, log_every: int = 10, seed: int = 1234,
-          use_mesh: bool = True):
+          save_every: int = 2000, log_every: int = 10, eval_every: int = 1000,
+          seed: int = 1234, use_mesh: bool = True):
     cfg = Config(vits_config()).merge(cfg or {})
     dataset = VitsDataset(syn_dir, cfg)
     cfg.n_speakers = max(cfg.n_speakers, dataset.n_speakers)
@@ -293,6 +293,44 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, cfg=None,
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     step_fn = make_vits_step(model, disc, tx_g, tx_d, fcfg)
 
+    # eval (`train_vits.py:342-381` evaluate): full inference on one training
+    # sample, generated audio + gt/gen mel images to TensorBoard
+    @jax.jit
+    def _eval_infer(gp, x, xl, sid, emo, key):
+        k1, k2 = jax.random.split(key)
+        o, attn, y_mask, y_lengths = model.apply(
+            {"params": gp}, x, xl, sid, emo, noise_scale=0.667,
+            length_scale=1.0, noise_scale_w=0.8,
+            max_len=cfg.get("eval_max_len", 1000), key=k1,
+            method=Vits.infer, rngs={"dropout": k2})
+        return o, y_lengths
+
+    def _mel_img(m):
+        m = np.asarray(m, np.float32)
+        return (m - m.min()) / max(float(m.max() - m.min()), 1e-6)
+
+    def evaluate(gp, step):
+        seq, spec, wav_gt, sid, emo = dataset[0]
+        t_text = _ceil(max(len(seq), 32), 16)
+        x = np.zeros((1, t_text), np.int32)
+        x[0, : len(seq)] = seq
+        o, y_lengths = _eval_infer(
+            gp, jnp.asarray(x), jnp.asarray([len(seq)], np.int32),
+            jnp.asarray([sid], np.int32), jnp.asarray(emo[None]),
+            jax.random.fold_in(jax.random.PRNGKey(seed), step))
+        wav_hat = np.asarray(o)[0][: int(np.asarray(y_lengths)[0]) * cfg.hop_size]
+        tb.audio(step, "eval/gen_audio", wav_hat, cfg.sample_rate)
+        tb.audio(step, "eval/gt_audio", wav_gt, cfg.sample_rate)
+        mel_gt = spec_to_mel_vits(jnp.asarray(spec[None]), cfg.sample_rate,
+                                  cfg.n_fft, cfg.num_mels, cfg.fmin, cfg.fmax)
+        spec_hat = spectrogram_vits(jnp.asarray(wav_hat[None]), cfg.n_fft,
+                                    cfg.hop_size, cfg.win_size)
+        mel_hat = spec_to_mel_vits(spec_hat, cfg.sample_rate, cfg.n_fft,
+                                   cfg.num_mels, cfg.fmin, cfg.fmax)
+        tb.image(step, "eval/mel_gt", _mel_img(np.asarray(mel_gt)[0].T))
+        tb.image(step, "eval/mel_gen", _mel_img(np.asarray(mel_hat)[0].T))
+        print(f"step {step} | eval: generated {len(wav_hat)/cfg.sample_rate:.2f}s audio")
+
     t0, acc = time.time(), []
     done = False
     while not done:
@@ -315,6 +353,8 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, cfg=None,
                                     "train/kl": float(parts["kl"]),
                                     "train/ms_per_step": dt * 1000})
                 t0, acc = time.time(), []
+            if eval_every and step % eval_every == 0:
+                evaluate(g_params, step)
             if save_every and step % save_every == 0:
                 ckpt.save(step, {"g": g_params, "d": d_vars,
                                  "g_opt": g_opt, "d_opt": d_opt})

@@ -73,7 +73,13 @@ def test_tacotron_train_and_gta(syn_dir, tmp_path):
         lstm_dims=32, gst_E=16, gst_num_heads=4, gst_ref_filters=(4, 4)))
     schedule = ((2, 1e-3, 4, 2),)
     train("e2e_run", syn_dir, tmp_path, schedule=schedule, save_every=0,
-          eval_every=0, total_steps=3, use_mesh=False, cfg=cfg)
+          eval_every=3, total_steps=3, use_mesh=False, cfg=cfg)
+    # eval artifacts at step 3 (`train.py:240-277, 286-316` parity)
+    eval_dir = tmp_path / "e2e_run" / "eval"
+    assert (eval_dir / "attention_000003.png").exists()
+    assert (eval_dir / "mel-prediction-step-000003.npy").exists()
+    assert (eval_dir / "step-000003-wave-from-mel.wav").exists()
+    assert (eval_dir / "step-000003-mel-spectrogram.png").exists()
     # resume from checkpoint + GTA
     run_gta_synthesis("e2e_run", syn_dir, tmp_path, r=2, batch_size=2, cfg=cfg)
     gta = sorted((syn_dir / "mels_gta").glob("*.npy"))
@@ -163,6 +169,21 @@ def test_gan_train_with_validation(syn_dir, tmp_path, capsys):
     train("gan_run", syn_dir, tmp_path, arch="hifigan", total_steps=2,
           save_every=0, log_every=1, val_every=2, cfg=cfg, use_mesh=False)
     assert "val mel err" in capsys.readouterr().out
+
+
+def test_vits_train_with_eval(syn_dir, tmp_path, capsys):
+    """VITS trainer end-to-end on the synthetic corpus, with the periodic
+    inference eval (`train_vits.py:342-381`)."""
+    from mockingbird_tpu.models.vits.train import train
+
+    cfg = dict(inter_channels=32, hidden_channels=32, filter_channels=64,
+               n_heads=2, n_layers=2, upsample_initial_channel=64,
+               resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3]],
+               segment_size=2048, gin_channels=16, eval_max_len=50)
+    train("vits_run", syn_dir, tmp_path, cfg=cfg, batch_size=2, total_steps=2,
+          save_every=2, log_every=1, eval_every=2, use_mesh=False)
+    assert "eval: generated" in capsys.readouterr().out
+    assert (tmp_path / "vits_run" / "ckpt_vits").exists()
 
 
 def test_vocoder_dataset_from_gta(syn_dir):

@@ -155,9 +155,31 @@ def test_training_reduces_loss(tmp_path):
     losses = []
     for _ in range(12):
         batch = jnp.asarray(sampler.next_batch())
-        params, opt_state, loss, eer = step_fn(params, opt_state, batch)
+        params, opt_state, loss, eer, _ = step_fn(params, opt_state, batch)
         losses.append(float(loss))
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_encoder_train_loop_with_umap(tmp_path):
+    """Full train() loop: checkpoints + periodic UMAP/PCA projection PNGs
+    (`encoder/train.py:96-105`)."""
+    from mockingbird_tpu.models.encoder.train import train
+
+    rng = np.random.RandomState(0)
+    data = tmp_path / "clean"
+    for spk in range(4):
+        d = data / f"spk{spk}"
+        d.mkdir(parents=True)
+        base = rng.randn(1, 40) * 2
+        for utt in range(3):
+            np.save(d / f"utt{utt}.npy",
+                    (base + rng.randn(60, 40) * 0.3).astype(np.float32))
+
+    train("enc_run", data, tmp_path / "models", save_every=2, total_steps=2,
+          speakers_per_batch=4, utterances_per_speaker=3, log_every=1,
+          vis_every=2, use_mesh=False)
+    pngs = list((tmp_path / "models" / "enc_run" / "umap").glob("*.png"))
+    assert pngs, "projection PNG not written"
 
 
 def test_checkpoint_roundtrip(tmp_path):

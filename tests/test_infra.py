@@ -187,13 +187,13 @@ def test_spmd_data_parallel_training_8dev():
 
     batch = jnp.asarray(np.random.RandomState(0).randn(8, 3, 20, 40), jnp.float32)
     copy = lambda t: jax.tree.map(jnp.copy, t)  # step donates params/opt_state
-    p1, _, loss_single, _ = step(copy(params), copy(opt_state), batch)
+    p1, _, loss_single, _, _ = step(copy(params), copy(opt_state), batch)
 
     mesh = make_mesh()
     assert mesh.shape["data"] * mesh.shape["model"] == 8
     sharded = shard_batch(mesh, batch)
     assert len(sharded.sharding.device_set) == mesh.shape["data"]
-    p2, _, loss_sharded, _ = step(copy(params), copy(opt_state), sharded)
+    p2, _, loss_sharded, _, _ = step(copy(params), copy(opt_state), sharded)
     np.testing.assert_allclose(float(loss_single), float(loss_sharded), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

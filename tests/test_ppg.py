@@ -105,6 +105,35 @@ def test_ppg2mel_forward_and_train_step():
     assert losses[-1] < losses[0], losses
 
 
+def test_vc_train_with_dev_validation(tmp_path, capsys):
+    """VC trainer with dev-split validation, best-loss checkpoint and
+    attention dumps (`train/solver.py:13-216`,
+    `train_linglf02mel_seq2seq_oneshotvc.py:242-284`)."""
+    from mockingbird_tpu.models.ppg.train import train
+
+    vc = tmp_path / "vc"
+    for sub in ("bnf", "f0", "embed", "mel"):
+        (vc / sub).mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    fids = [f"u{i}" for i in range(4)]
+    for fid in fids:
+        n = 24
+        np.save(vc / "bnf" / f"{fid}.npy", rng.randn(n, 24).astype(np.float32))
+        np.save(vc / "f0" / f"{fid}.npy", rng.rand(n, 2).astype(np.float32))
+        np.save(vc / "mel" / f"{fid}.npy", (rng.randn(n, 20) * 0.1).astype(np.float32))
+        np.save(vc / "embed" / f"{fid}.npy", rng.randn(16).astype(np.float32))
+    (vc / "train_fidlist.txt").write_text("\n".join(fids[:2]))
+    (vc / "dev_fidlist.txt").write_text("\n".join(fids[2:]))
+
+    train("vc_run", vc, tmp_path, cfg=small_p2m_cfg(), batch_size=2,
+          total_steps=2, save_every=0, log_every=1, val_every=2, use_mesh=False)
+    out = capsys.readouterr().out
+    assert "dev mel loss" in out
+    assert (tmp_path / "vc_run" / "ckpt_ppg2mel_best").exists()
+    attns = list((tmp_path / "vc_run" / "attn").glob("*.png"))
+    assert attns, "attention plot not written"
+
+
 def test_mol_attention_moves_forward():
     """MOL attention mean positions advance monotonically across steps."""
     from mockingbird_tpu.models.ppg.ppg2mel import MOLAttention
