@@ -24,11 +24,10 @@ def _best(fn, n=3):
     return best
 
 
-def bench_tacotron():
+def bench_tacotron(precision="fp32"):
     import jax, jax.numpy as jnp, optax
-    from functools import partial
     from mockingbird_tpu.models.tacotron.model import init_tacotron, tacotron_config
-    from mockingbird_tpu.models.tacotron.train import tacotron_loss
+    from mockingbird_tpu.models.tacotron.train import make_train_step
 
     cfg = tacotron_config()
     model, variables = init_tacotron(jax.random.PRNGKey(0), cfg)
@@ -36,23 +35,7 @@ def bench_tacotron():
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
     opt = tx.init(params)
     B, T_TXT, T_MEL, R = 12, 160, 400, 2  # reference schedule batch 12, r=2
-
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(params, stats, opt, batch, key):
-        dk, zk = jax.random.split(key)
-
-        def loss_fn(p):
-            out, mut = model.apply({"params": p, "batch_stats": stats},
-                                   batch["texts"], batch["mels"],
-                                   batch["embeds"], R, True,
-                                   rngs={"dropout": dk, "zoneout": zk},
-                                   mutable=["batch_stats"])
-            loss, _ = tacotron_loss(out, batch)
-            return loss, mut["batch_stats"]
-
-        (loss, ns), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        upd, opt = tx.update(grads, opt, params)
-        return optax.apply_updates(params, upd), ns, opt, loss
+    step = make_train_step(model, tx, R, precision)
 
     rng = np.random.RandomState(0)
     batch = dict(texts=jnp.asarray(rng.randint(1, 70, (B, T_TXT)), jnp.int32),
@@ -63,16 +46,16 @@ def bench_tacotron():
 
     def run(state):
         p, s, o = state if state else (params, stats, opt)
-        p, s, o, loss = step(p, s, o, batch, key)
+        (p, s), o, loss, parts, attn, post = step((p, s), o, batch, key)
         float(loss)
         return p, s, o
 
     dt = _best(run)
     return {"metric": "tacotron_train_step", "value": round(dt * 1e3, 1),
-            "unit": "ms/step@batch12"}
+            "unit": f"ms/step@batch12/{precision}"}
 
 
-def bench_vits():
+def bench_vits(precision="fp32"):
     import jax, jax.numpy as jnp, optax
     from mockingbird_tpu.config import Config
     from mockingbird_tpu.models.vits.model import init_vits, vits_config
@@ -89,7 +72,7 @@ def bench_vits():
     tx_g = optax.adamw(2e-4, b1=0.8, b2=0.99, eps=1e-9)
     tx_d = optax.adamw(2e-4, b1=0.8, b2=0.99, eps=1e-9)
     g_opt, d_opt = tx_g.init(g_params), tx_d.init(d_vars["params"])
-    step = make_vits_step(model, disc, tx_g, tx_d, cfg.freeze())
+    step = make_vits_step(model, disc, tx_g, tx_d, cfg.freeze(), precision)
 
     B, T_TXT, T_SPEC = 16, 96, 400
     rng = np.random.RandomState(0)
@@ -117,10 +100,10 @@ def bench_vits():
 
     dt = _best(run)
     return {"metric": "vits_train_step", "value": round(dt * 1e3, 1),
-            "unit": "ms/step@batch16"}
+            "unit": f"ms/step@batch16/{precision}"}
 
 
-def bench_hifigan():
+def bench_hifigan(precision="fp32"):
     import jax, jax.numpy as jnp, optax
     from mockingbird_tpu.config import Config
     from mockingbird_tpu.models.vocoder.hifigan import (init_discriminators,
@@ -138,7 +121,7 @@ def bench_hifigan():
     tx_g = optax.adamw(2e-4, b1=0.8, b2=0.99)
     tx_d = optax.adamw(2e-4, b1=0.8, b2=0.99)
     g_opt, d_opt = tx_g.init(g_params), tx_d.init(d_vars["params"])
-    step = make_gan_step(gen, disc, tx_g, tx_d, cfg)
+    step = make_gan_step(gen, disc, tx_g, tx_d, cfg, precision)
     B = 16
     rng = np.random.RandomState(0)
     batch = dict(
@@ -157,10 +140,10 @@ def bench_hifigan():
 
     dt = _best(run)
     return {"metric": "hifigan_train_step", "value": round(dt * 1e3, 1),
-            "unit": "ms/step@batch16"}
+            "unit": f"ms/step@batch16/{precision}"}
 
 
-def bench_encoder():
+def bench_encoder(precision="fp32"):
     import jax, jax.numpy as jnp, optax
     from mockingbird_tpu.models.encoder.model import SpeakerEncoder, init_params
     from mockingbird_tpu.models.encoder.train import make_train_step
@@ -169,7 +152,7 @@ def bench_encoder():
     params = init_params(jax.random.PRNGKey(0))
     tx = optax.chain(optax.clip_by_global_norm(3.0), optax.adam(1e-4))
     opt = tx.init(params)
-    step = make_train_step(model, tx, 64, 10)
+    step = make_train_step(model, tx, 64, 10, precision)
     batch = jnp.asarray(np.random.RandomState(0).randn(64, 10, 160, 40),
                         jnp.float32)
 
@@ -181,10 +164,10 @@ def bench_encoder():
 
     dt = _best(run)
     return {"metric": "ge2e_train_step", "value": round(dt * 1e3, 1),
-            "unit": "ms/step@64x10"}
+            "unit": f"ms/step@64x10/{precision}"}
 
 
-def bench_fregan():
+def bench_fregan(precision="fp32"):
     import jax, jax.numpy as jnp, optax
     from mockingbird_tpu.config import Config
     from mockingbird_tpu.models.vocoder.fregan import (FreGanDiscriminators,
@@ -205,7 +188,7 @@ def bench_fregan():
     tx_g = optax.adamw(2e-4, b1=0.8, b2=0.99)
     tx_d = optax.adamw(2e-4, b1=0.8, b2=0.99)
     g_opt, d_opt = tx_g.init(g_params), tx_d.init(d_vars["params"])
-    step = make_gan_step(gen, disc, tx_g, tx_d, cfg)
+    step = make_gan_step(gen, disc, tx_g, tx_d, cfg, precision)
     B = 16
     rng = np.random.RandomState(0)
     batch = dict(
@@ -223,7 +206,7 @@ def bench_fregan():
 
     dt = _best(run)
     return {"metric": "fregan_train_step", "value": round(dt * 1e3, 1),
-            "unit": "ms/step@batch16"}
+            "unit": f"ms/step@batch16/{precision}"}
 
 
 BENCHES = {"tacotron": bench_tacotron, "vits": bench_vits,
@@ -234,9 +217,10 @@ BENCHES = {"tacotron": bench_tacotron, "vits": bench_vits,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", default="tacotron,vits,hifigan,fregan,encoder")
+    ap.add_argument("--precision", default="fp32", choices=("fp32", "bf16"))
     args = ap.parse_args()
     for fam in args.families.split(","):
-        print(json.dumps(BENCHES[fam.strip()]()))
+        print(json.dumps(BENCHES[fam.strip()](args.precision)), flush=True)
 
 
 if __name__ == "__main__":

@@ -76,6 +76,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("run_id")
     sp.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
     sp.add_argument("--total_steps", type=int, default=None)
+    sp.add_argument("--precision", choices=("fp32", "bf16"), default="fp32",
+                    help="bf16 = mixed-precision compute (fp32 master params)")
     sp.set_defaults(func=cmd_train_encoder)
 
     sp = sub.add_parser("train-synth", help="train.py --type=synth")
@@ -83,6 +85,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("run_id")
     sp.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
     sp.add_argument("--total_steps", type=int, default=None)
+    sp.add_argument("--precision", choices=("fp32", "bf16"), default="fp32",
+                    help="bf16 = mixed-precision compute (fp32 master params)")
     sp.set_defaults(func=cmd_train_synth)
 
     sp = sub.add_parser("train-vits", help="train.py --type=vits")
@@ -91,6 +95,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
     sp.add_argument("--batch_size", type=int, default=16)
     sp.add_argument("--total_steps", type=int, default=None)
+    sp.add_argument("--precision", choices=("fp32", "bf16"), default="fp32",
+                    help="bf16 = mixed-precision compute (fp32 master params)")
     sp.set_defaults(func=cmd_train_vits)
 
     sp = sub.add_parser("train-vocoder")
@@ -101,6 +107,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ground_truth", action="store_true",
                     help="train on GT mels instead of GTA")
     sp.add_argument("--total_steps", type=int, default=None)
+    sp.add_argument("--precision", choices=("fp32", "bf16"), default="fp32",
+                    help="bf16 = mixed-precision compute (fp32 master params)")
     sp.set_defaults(func=cmd_train_vocoder)
 
     sp = sub.add_parser("gta", help="ground-truth-aligned synthesis for vocoder finetune")
@@ -119,6 +127,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("run_id")
     sp.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
     sp.add_argument("--total_steps", type=int, default=None)
+    sp.add_argument("--precision", choices=("fp32", "bf16"), default="fp32",
+                    help="bf16 = mixed-precision compute (fp32 master params)")
     sp.set_defaults(func=cmd_train_vc)
 
     sp = sub.add_parser("tts", help="clone a voice (gen_voice.py)")
@@ -262,29 +272,32 @@ def cmd_encoder_preprocess(args):
 def cmd_train_encoder(args):
     from ..models.encoder.train import train
     train(args.run_id, args.clean_data_root, args.models_dir,
-          total_steps=args.total_steps)
+          total_steps=args.total_steps, precision=args.precision)
 
 
 def cmd_train_synth(args):
     from ..models.tacotron.train import train
-    train(args.run_id, args.syn_dir, args.models_dir, total_steps=args.total_steps)
+    train(args.run_id, args.syn_dir, args.models_dir, total_steps=args.total_steps,
+          precision=args.precision)
 
 
 def cmd_train_vits(args):
     from ..models.vits.train import train
     train(args.run_id, args.syn_dir, args.models_dir, batch_size=args.batch_size,
-          total_steps=args.total_steps)
+          total_steps=args.total_steps, precision=args.precision)
 
 
 def cmd_train_vocoder(args):
     if args.arch == "wavernn":
         from ..models.vocoder.wavernn_train import train
         train(args.run_id, args.syn_dir, args.models_dir,
-              ground_truth=args.ground_truth, total_steps=args.total_steps)
+              ground_truth=args.ground_truth, total_steps=args.total_steps,
+              precision=args.precision)
     else:
         from ..models.vocoder.gan_train import train
         train(args.run_id, args.syn_dir, args.models_dir, arch=args.arch,
-              fine_tuning=not args.ground_truth, total_steps=args.total_steps)
+              fine_tuning=not args.ground_truth, total_steps=args.total_steps,
+              precision=args.precision)
 
 
 def cmd_gta(args):
@@ -299,7 +312,8 @@ def cmd_preprocess_vc(args):
 
 def cmd_train_vc(args):
     from ..models.ppg.train import train
-    train(args.run_id, args.vc_dir, args.models_dir, total_steps=args.total_steps)
+    train(args.run_id, args.vc_dir, args.models_dir, total_steps=args.total_steps,
+          precision=args.precision)
 
 
 def cmd_tts(args):
@@ -419,6 +433,8 @@ def cmd_serve(args):
 
 
 def main(argv=None):
+    from ..parallel.multihost import initialize_from_env
+    initialize_from_env()
     parser = build_parser()
     args = parser.parse_args(argv)
     _print_args(args)

@@ -19,9 +19,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ...parallel import multihost
 from ...parallel.mesh import make_mesh, shard_batch
 from ...train.checkpoint import CheckpointManager
 from ...train.logging import TrainLogger
+from ...train.precision import Policy
 from .dataset import SpeakerBatchSampler, SpeakerVerificationDataset
 from .model import SpeakerEncoder, equal_error_rate, ge2e_loss, init_params
 
@@ -32,11 +34,17 @@ PARTIALS_N_FRAMES = 160
 
 
 def make_train_step(model: SpeakerEncoder, tx: optax.GradientTransformation,
-                    speakers_per_batch: int, utterances_per_speaker: int):
+                    speakers_per_batch: int, utterances_per_speaker: int,
+                    precision: str = "fp32"):
+    policy = Policy.from_name(precision)
+
     def loss_fn(params, batch):
         s, u = batch.shape[:2]
         frames = batch.reshape(s * u, *batch.shape[2:])
-        embeds = model.apply({"params": params["model"]}, frames).reshape(s, u, -1)
+        # LSTM runs in the compute dtype; similarity/EER math stays fp32
+        embeds = policy.uncast(model.apply(
+            {"params": policy.cast(params["model"])},
+            policy.cast(frames))).reshape(s, u, -1)
         loss, sim = ge2e_loss(embeds, params["similarity"]["weight"], params["similarity"]["bias"])
         return loss, (sim, embeds)
 
@@ -62,7 +70,9 @@ def train(run_id: str, clean_data_root: Path, models_dir: Path,
           utterances_per_speaker: int = UTTERANCES_PER_SPEAKER,
           learning_rate: float = LEARNING_RATE_INIT,
           force_restart: bool = False, log_every: int = 10,
-          vis_every: int = 100, use_mesh: bool = True):
+          vis_every: int = 100, use_mesh: bool = True,
+          precision: str = "fp32"):
+    multihost.initialize_from_env()
     dataset = SpeakerVerificationDataset(Path(clean_data_root))
     sampler = SpeakerBatchSampler(dataset, speakers_per_batch, utterances_per_speaker,
                                   PARTIALS_N_FRAMES)
@@ -84,7 +94,8 @@ def train(run_id: str, clean_data_root: Path, models_dir: Path,
             print(f"Resumed encoder run {run_id} at step {step0}")
 
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
-    train_step = make_train_step(model, tx, speakers_per_batch, utterances_per_speaker)
+    train_step = make_train_step(model, tx, speakers_per_batch, utterances_per_speaker,
+                                 precision)
 
     vis_dir = model_dir / "umap"
     t0, losses, eers = time.time(), [], []

@@ -21,6 +21,7 @@ import numpy as np
 import optax
 
 from ...config import Config
+from ...parallel import multihost
 from ...parallel.mesh import make_mesh, shard_batch
 from ...train.checkpoint import CheckpointManager
 from ...train.logging import TrainLogger
@@ -89,13 +90,18 @@ def masked_mse(pred, target, mask):
     return jnp.sum(((pred - target) ** 2) * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def make_vc_step(model: MelDecoderMOLv2, tx):
+def make_vc_step(model: MelDecoderMOLv2, tx, precision: str = "fp32"):
+    from ...train.precision import Policy
+    policy = Policy.from_name(precision)
+
     def loss_fn(params, batch_stats, batch, key):
         out, mut = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["ppgs"], batch["lengths"], batch["mels"], batch["lengths"],
-            batch["lf0s"], batch["embeds"], True,
+            {"params": policy.cast(params), "batch_stats": policy.cast(batch_stats)},
+            policy.cast(batch["ppgs"]), batch["lengths"],
+            policy.cast(batch["mels"]), batch["lengths"],
+            policy.cast(batch["lf0s"]), policy.cast(batch["embeds"]), True,
             rngs={"dropout": key}, mutable=["batch_stats"])
+        out, mut = policy.uncast(out), policy.uncast(mut)
         mel, post, stop, _ = out
         from ..vits.modules import sequence_mask
         mask = sequence_mask(batch["lengths"], batch["mels"].shape[1])[..., None]
@@ -141,7 +147,8 @@ def train(run_id: str, vc_dir: Path, models_dir: Path, cfg=None,
           batch_size: int = 8, learning_rate: float = 5e-4,
           total_steps: Optional[int] = None, save_every: int = 2000,
           log_every: int = 10, val_every: int = 500, seed: int = 0,
-          use_mesh: bool = True):
+          use_mesh: bool = True, precision: str = "fp32"):
+    multihost.initialize_from_env()
     cfg = Config(ppg2mel_config()).merge(cfg or {})
     model, variables = init_ppg2mel(jax.random.PRNGKey(seed), cfg)
     params, batch_stats = variables["params"], variables["batch_stats"]
@@ -167,7 +174,7 @@ def train(run_id: str, vc_dir: Path, models_dir: Path, cfg=None,
     loader = DataLoader(dataset, batch_size,
                         lambda b: collate_vc(b, cfg.frames_per_step, down), seed=seed)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
-    step_fn = make_vc_step(model, tx)
+    step_fn = make_vc_step(model, tx, precision)
 
     # dev-split validation with best-loss checkpoint + attention plot
     dev = None

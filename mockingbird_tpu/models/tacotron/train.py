@@ -21,9 +21,11 @@ import numpy as np
 import optax
 
 from ...config import Config, sv2tts_audio_config
+from ...parallel import multihost
 from ...parallel.mesh import make_mesh, shard_batch
 from ...train.checkpoint import CheckpointManager
 from ...train.logging import TrainLogger
+from ...train.precision import Policy
 from .dataset import DataLoader, SynthesizerDataset, collate_synthesizer
 from .model import Tacotron, init_tacotron, tacotron_config
 
@@ -65,7 +67,9 @@ def finetune_mask(params, layers):
     return jax.tree_util.tree_map_with_path(mask_path, params)
 
 
-def make_train_step(model: Tacotron, tx, r: int):
+def make_train_step(model: Tacotron, tx, r: int, precision: str = "fp32"):
+    policy = Policy.from_name(precision)
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(params_state, opt_state, batch, key):
         params, batch_stats = params_state
@@ -73,14 +77,16 @@ def make_train_step(model: Tacotron, tx, r: int):
 
         def loss_fn(p):
             out, mut = model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                batch["texts"], batch["mels"], batch["embeds"], r, True,
+                {"params": policy.cast(p), "batch_stats": policy.cast(batch_stats)},
+                batch["texts"], policy.cast(batch["mels"]),
+                policy.cast(batch["embeds"]), r, True,
                 rngs={"dropout": dk, "zoneout": zk}, mutable=["batch_stats"])
+            out = policy.uncast(out)
             loss, parts = tacotron_loss(out, batch)
             # out[1] (postnet mel) rides along for eval artifacts, like the
             # reference's m2_hat (`train.py:246-265`); it costs nothing until
             # the host fetches it at an eval step
-            return loss, (parts, mut["batch_stats"], out[2], out[1])
+            return loss, (parts, policy.uncast(mut["batch_stats"]), out[2], out[1])
 
         (loss, (parts, new_stats, attn, post)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -96,7 +102,9 @@ def train(run_id: str, syn_dir: Path, models_dir: Path,
           backup_every: int = 25_000, log_every: int = 10,
           eval_every: int = 500, force_restart: bool = False,
           total_steps: Optional[int] = None, use_mesh: bool = True,
-          cfg=None, audio_cfg=None, seed: int = 0, finetune_layers=()):
+          cfg=None, audio_cfg=None, seed: int = 0, finetune_layers=(),
+          precision: str = "fp32"):
+    multihost.initialize_from_env()
     syn_dir = Path(syn_dir)
     cfg = cfg or tacotron_config()
     audio_cfg = audio_cfg or sv2tts_audio_config()
@@ -145,7 +153,10 @@ def train(run_id: str, syn_dir: Path, models_dir: Path,
         loader = DataLoader(dataset, batch_size,
                             partial(collate_synthesizer, r=r,
                                     max_abs_value=audio_cfg.max_abs_value), seed=seed)
-        step_fn = make_train_step(model, tx, r)
+        if mesh is not None and jax.process_count() > 1:
+            params, batch_stats, opt_state = multihost.make_global(
+                mesh, (params, batch_stats, opt_state))
+        step_fn = make_train_step(model, tx, r, precision)
         print(f"Session {session_i}: r={r} lr={lr} batch={batch_size} until step {max_step}")
 
         t0, loss_acc = time.time(), []

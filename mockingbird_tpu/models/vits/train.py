@@ -27,10 +27,12 @@ import optax
 
 from ...config import Config
 from ...dsp import spectrogram_vits, spec_to_mel_vits
+from ...parallel import multihost
 from ...parallel.mesh import make_mesh, shard_batch
 from ...text import text_to_sequence
 from ...train.checkpoint import CheckpointManager
 from ...train.logging import TrainLogger
+from ...train.precision import Policy
 from ..vocoder.gan_losses import (discriminator_loss, feature_loss,
                                   generator_loss, kl_loss)
 from ..vocoder.hifigan import DiscriminatorP, DiscriminatorS
@@ -123,42 +125,63 @@ class VitsDataset:
 
 class BucketBatcher:
     """Length-bucketed batches with static padded shapes (replacing the
-    `DistributedBucketSampler`, `vits_dataset.py:166-262`)."""
+    `DistributedBucketSampler`, `vits_dataset.py:166-262`).
+
+    Multi-process: ``num_shards``/``shard_index`` give each process a strided
+    subsample of every global batch (the reference's per-rank semantics,
+    `vits_dataset.py:228-240`); ``batch_size`` is then the per-process size.
+    Padded shapes are static per bucket (spec pad = bucket boundary, text pad
+    = per-bucket max) so every process collates identical array shapes — a
+    requirement for one SPMD program, unlike torch DDP."""
 
     def __init__(self, dataset: VitsDataset, batch_size: int,
-                 boundaries=BUCKET_BOUNDARIES, seed: int = 1234):
+                 boundaries=BUCKET_BOUNDARIES, seed: int = 1234,
+                 num_shards: int = 1, shard_index: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.boundaries = list(boundaries)
         self.rng = random.Random(seed)
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         self.buckets: List[List[int]] = [[] for _ in range(len(self.boundaries) - 1)]
         for idx, length in enumerate(dataset.lengths):
             for bi in range(len(self.boundaries) - 1):
                 if self.boundaries[bi] < length <= self.boundaries[bi + 1]:
                     self.buckets[bi].append(idx)
                     break
-        self.buckets = [b for b in self.buckets if b]
+        keep = [i for i, b in enumerate(self.buckets) if b]
+        self.bucket_bounds = [self.boundaries[min(i + 1, len(self.boundaries) - 1)]
+                              for i in keep]
+        self.buckets = [self.buckets[i] for i in keep]
+        # static per-bucket text pad from metadata only (no audio IO)
+        self.bucket_t_text = []
+        for b in self.buckets:
+            tmax = max(len(text_to_sequence(dataset.items[i][2],
+                                            dataset.cleaner_names)) for i in b)
+            self.bucket_t_text.append(max(32, _ceil(tmax, 16)))
 
     def __iter__(self):
+        gbs = self.batch_size * self.num_shards
         batches = []
         for bi, bucket in enumerate(self.buckets):
             order = bucket[:]
             self.rng.shuffle(order)
-            for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
-                batches.append((bi, order[i : i + self.batch_size]))
+            for i in range(0, len(order) - gbs + 1, gbs):
+                batches.append((bi, order[i : i + gbs]))
         self.rng.shuffle(batches)
         for bi, idxs in batches:
-            yield self.collate([self.dataset[i] for i in idxs], bi)
+            local = idxs[self.shard_index::self.num_shards]  # rank-strided
+            yield self.collate([self.dataset[i] for i in local], bi)
 
     def __len__(self):
-        return sum(len(b) // self.batch_size for b in self.buckets)
+        gbs = self.batch_size * self.num_shards
+        return sum(len(b) // gbs for b in self.buckets)
 
     def collate(self, batch, bucket_idx: int) -> dict:
         cfg = self.dataset.cfg
-        t_spec = self.boundaries[min(bucket_idx + 1, len(self.boundaries) - 1)]
-        t_spec = max(t_spec, max(s.shape[0] for _, s, _, _, _ in batch))
+        t_spec = self.bucket_bounds[bucket_idx]
         t_wav = t_spec * cfg.hop_size
-        t_text = max(32, _ceil(max(len(t) for t, *_ in batch), 16))
+        t_text = self.bucket_t_text[bucket_idx]
 
         b = len(batch)
         texts = np.zeros((b, t_text), np.int32)
@@ -189,8 +212,10 @@ def _ceil(n, m):
 # Train step
 # ---------------------------------------------------------------------------
 
-def make_vits_step(model: Vits, disc: VitsDiscriminator, tx_g, tx_d, cfg):
+def make_vits_step(model: Vits, disc: VitsDiscriminator, tx_g, tx_d, cfg,
+                   precision: str = "fp32"):
     seg_frames = cfg.segment_size // cfg.hop_size
+    policy = Policy.from_name(precision)
 
     def mel_of(wav):
         spec = spectrogram_vits(wav, cfg.n_fft, cfg.hop_size, cfg.win_size)
@@ -204,10 +229,19 @@ def make_vits_step(model: Vits, disc: VitsDiscriminator, tx_g, tx_d, cfg):
         d_stats = d_vars.get("batch_stats", {})
 
         def gen_outputs(gp):
-            return model.apply(
-                {"params": gp}, batch["texts"], batch["text_lengths"],
-                batch["specs"], batch["spec_lengths"], batch["sids"], batch["emos"],
+            out = model.apply(
+                {"params": policy.cast(gp)}, batch["texts"], batch["text_lengths"],
+                policy.cast(batch["specs"]), batch["spec_lengths"],
+                batch["sids"], policy.cast(batch["emos"]),
                 key=k_model, train=True, rngs={"dropout": k_drop})
+            return policy.uncast(out)
+
+        def disc_apply(dp, dstats, y_r, y_g, train):
+            out = disc.apply({"params": policy.cast(dp),
+                              "batch_stats": policy.cast(dstats)},
+                             policy.cast(y_r), policy.cast(y_g), train,
+                             mutable=["batch_stats"] if train else False)
+            return policy.uncast(out)
 
         # full mel once; slices per ids (`train_vits.py:236-253`)
         mel_full = spec_to_mel_vits(batch["specs"], cfg.sample_rate, cfg.n_fft,
@@ -218,9 +252,8 @@ def make_vits_step(model: Vits, disc: VitsDiscriminator, tx_g, tx_d, cfg):
 
         # ---- discriminator ----
         def d_loss_fn(dp):
-            (rs, gs, frs, fgs), mut = disc.apply(
-                {"params": dp, "batch_stats": d_stats}, y,
-                jax.lax.stop_gradient(y_hat0), True, mutable=["batch_stats"])
+            (rs, gs, frs, fgs), mut = disc_apply(
+                dp, d_stats, y, jax.lax.stop_gradient(y_hat0), True)
             loss, _, _ = discriminator_loss(rs, gs)
             return loss, mut.get("batch_stats", {})
 
@@ -238,8 +271,7 @@ def make_vits_step(model: Vits, disc: VitsDiscriminator, tx_g, tx_d, cfg):
             loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * C_MEL
             loss_dur = jnp.sum(l_length)
             loss_kl = kl_loss(z_p, logs_q, m_p, logs_p, y_mask) * C_KL
-            rs, gs, frs, fgs = disc.apply(
-                {"params": d_params, "batch_stats": d_stats}, y_real, y_hat, False)
+            rs, gs, frs, fgs = disc_apply(d_params, d_stats, y_real, y_hat, False)
             loss_fm = feature_loss(frs, fgs)
             loss_gen, _ = generator_loss(gs)
             total = loss_gen + loss_fm + loss_mel + loss_dur + loss_kl
@@ -259,7 +291,8 @@ def make_vits_step(model: Vits, disc: VitsDiscriminator, tx_g, tx_d, cfg):
 def train(run_id: str, syn_dir: Path, models_dir: Path, cfg=None,
           batch_size: int = 16, total_steps: Optional[int] = None,
           save_every: int = 2000, log_every: int = 10, eval_every: int = 1000,
-          seed: int = 1234, use_mesh: bool = True):
+          seed: int = 1234, use_mesh: bool = True, precision: str = "fp32"):
+    multihost.initialize_from_env()
     cfg = Config(vits_config()).merge(cfg or {})
     dataset = VitsDataset(syn_dir, cfg)
     cfg.n_speakers = max(cfg.n_speakers, dataset.n_speakers)
@@ -289,9 +322,18 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, cfg=None,
         step = step0 + 1
         print(f"Resumed VITS at step {step0}")
 
-    batcher = BucketBatcher(dataset, batch_size, seed=seed)
+    # multi-process: per-rank strided subsample, batch_size is the GLOBAL
+    # batch (`vits_dataset.py:228-240` semantics)
+    n_proc = multihost.process_count()
+    assert batch_size % n_proc == 0, f"batch {batch_size} vs {n_proc} processes"
+    batcher = BucketBatcher(dataset, batch_size // n_proc, seed=seed,
+                            num_shards=n_proc,
+                            shard_index=multihost.process_index())
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
-    step_fn = make_vits_step(model, disc, tx_g, tx_d, fcfg)
+    if mesh is not None and n_proc > 1:
+        g_params, d_vars, g_opt, d_opt = multihost.make_global(
+            mesh, (g_params, d_vars, g_opt, d_opt))
+    step_fn = make_vits_step(model, disc, tx_g, tx_d, fcfg, precision)
 
     # eval (`train_vits.py:342-381` evaluate): full inference on one training
     # sample, generated audio + gt/gen mel images to TensorBoard
@@ -337,7 +379,10 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, cfg=None,
         n_batches = 0
         for batch in batcher:
             n_batches += 1
-            batch = shard_batch(mesh, jax.tree.map(jnp.asarray, batch))
+            if n_proc > 1:
+                batch = multihost.assemble_local_batch(mesh, batch)
+            else:
+                batch = shard_batch(mesh, jax.tree.map(jnp.asarray, batch))
             key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
             g_params, d_vars, g_opt, d_opt, g_loss, d_loss, parts = step_fn(
                 g_params, d_vars, g_opt, d_opt, batch, key)

@@ -48,6 +48,12 @@ def fregan_config() -> Config:
         batch_size=16,
         disc_start_step=0,
         top_k=4,
+        # optional multi-resolution STFT aux loss (`fregan/stft_loss.py:98-135`,
+        # disabled in the reference trainer at `fregan/train.py:161-162`); when
+        # on, replaces the L1 mel loss with lambda_aux*(sc+mag) per the
+        # reference's commented-out wiring.
+        use_stft_loss=False,
+        lambda_aux=45.0,
     )
 
 

@@ -40,6 +40,43 @@ def generator_loss(disc_outputs):
     return loss, gen_losses
 
 
+# Fre-GAN auxiliary multi-resolution STFT loss
+# (`/root/reference/models/vocoder/fregan/stft_loss.py:12-135`; disabled in the
+# reference trainer at `fregan/train.py:161-162`, shipped here as an optional
+# loss gated by `use_stft_loss`). Resolutions are (fft_size, hop, win_length).
+DEFAULT_STFT_RESOLUTIONS = ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
+
+
+def _stft_mag(x, fft_size, hop, win_length):
+    from ...dsp.stft import stft
+    # torch.stft default: center=True reflect pad; the reference clamps the
+    # power at 1e-7 before the sqrt (`stft_loss.py:28`)
+    re, im = stft(x, fft_size, hop, win_length, center=True, pad_mode="reflect")
+    return jnp.sqrt(jnp.maximum(re * re + im * im, 1e-7))
+
+
+def stft_loss(x, y, fft_size, hop, win_length):
+    """Single-resolution (spectral-convergence, log-magnitude) pair for
+    predicted x and ground-truth y, both (B, T) (`stft_loss.py:67-96`)."""
+    x_mag = _stft_mag(x, fft_size, hop, win_length)
+    y_mag = _stft_mag(y, fft_size, hop, win_length)
+    sc = jnp.linalg.norm(y_mag - x_mag) / jnp.maximum(jnp.linalg.norm(y_mag), 1e-7)
+    mag = jnp.mean(jnp.abs(jnp.log(y_mag) - jnp.log(x_mag)))
+    return sc, mag
+
+
+def multi_resolution_stft_loss(x, y, resolutions=DEFAULT_STFT_RESOLUTIONS):
+    """Mean spectral-convergence + log-magnitude losses over resolutions
+    (`stft_loss.py:98-135` MultiResolutionSTFTLoss)."""
+    sc_total, mag_total = 0.0, 0.0
+    for fft_size, hop, win_length in resolutions:
+        sc, mag = stft_loss(x, y, fft_size, hop, win_length)
+        sc_total += sc
+        mag_total += mag
+    n = len(resolutions)
+    return sc_total / n, mag_total / n
+
+
 def kl_loss(z_p, logs_q, m_p, logs_p, z_mask):
     """VITS prior/posterior KL (`utils/loss.py` kl_loss): all (B, C, T)-style
     tensors with mask broadcastable."""

@@ -23,12 +23,15 @@ import optax
 
 from ...config import Config
 from ...dsp import spectrogram_vits, spec_to_mel_vits
+from ...parallel import multihost
 from ...parallel.mesh import make_mesh, shard_batch
 from ...train.checkpoint import CheckpointManager
 from ...train.logging import TrainLogger
+from ...train.precision import Policy
 from ..tacotron.dataset import DataLoader
 from .dataset import MelDataset, collate_gan, get_dataset_filelist
-from .gan_losses import discriminator_loss, feature_loss, generator_loss
+from .gan_losses import (discriminator_loss, feature_loss, generator_loss,
+                         multi_resolution_stft_loss)
 from .fregan import FreGanDiscriminators, FreGanGenerator, fregan_config
 from .hifigan import Generator as HifiGenerator, HifiganDiscriminators, hifigan_config
 
@@ -45,9 +48,21 @@ def mel_loss_fn(wav: jax.Array, cfg) -> jax.Array:
     return spec_to_mel_vits(spec, cfg.sample_rate, cfg.n_fft, cfg.num_mels, cfg.fmin, fmax)
 
 
-def make_gan_step(gen, disc, tx_g, tx_d, cfg):
+def make_gan_step(gen, disc, tx_g, tx_d, cfg, precision: str = "fp32"):
     """One fused step: disc update on (y, ŷ.detach()), then gen update
     (`hifigan/train.py:141-172`)."""
+    policy = Policy.from_name(precision)
+
+    def gen_apply(gp, mels):
+        return policy.uncast(gen.apply({"params": policy.cast(gp)},
+                                       policy.cast(mels)))
+
+    def disc_apply(dp, dstats, y_r, y_g, train):
+        out = disc.apply({"params": policy.cast(dp),
+                          "batch_stats": policy.cast(dstats)},
+                         policy.cast(y_r), policy.cast(y_g), train,
+                         mutable=["batch_stats"] if train else False)
+        return policy.uncast(out)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2, 3), static_argnums=(6,))
     def step_fn(g_params, d_vars, g_opt, d_opt, batch, step, disc_active: bool):
@@ -55,13 +70,12 @@ def make_gan_step(gen, disc, tx_g, tx_d, cfg):
         y_mel = mel_loss_fn(y, cfg)
         d_params, d_stats = d_vars["params"], d_vars["batch_stats"]
 
-        y_g_hat = gen.apply({"params": g_params}, mels)
+        y_g_hat = gen_apply(g_params, mels)
 
         # ---- discriminator ------------------------------------------------
         def d_loss_fn(dp):
-            (mpd, msd), mut = disc.apply(
-                {"params": dp, "batch_stats": d_stats}, y,
-                jax.lax.stop_gradient(y_g_hat), True, mutable=["batch_stats"])
+            (mpd, msd), mut = disc_apply(
+                dp, d_stats, y, jax.lax.stop_gradient(y_g_hat), True)
             loss_mpd, _, _ = discriminator_loss(mpd[0], mpd[1])
             loss_msd, _, _ = discriminator_loss(msd[0], msd[1])
             return loss_mpd + loss_msd, mut["batch_stats"]
@@ -76,12 +90,17 @@ def make_gan_step(gen, disc, tx_g, tx_d, cfg):
 
         # ---- generator ----------------------------------------------------
         def g_loss_fn(gp):
-            y_hat = gen.apply({"params": gp}, mels)
-            y_hat_mel = mel_loss_fn(y_hat, cfg)
-            loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * 45
+            y_hat = gen_apply(gp, mels)
+            if getattr(cfg, "use_stft_loss", False):
+                # Fre-GAN aux loss replaces the L1 mel term
+                # (`fregan/train.py:161-162`)
+                sc, mag = multi_resolution_stft_loss(y_hat, y)
+                loss_mel = getattr(cfg, "lambda_aux", 45.0) * (sc + mag)
+            else:
+                y_hat_mel = mel_loss_fn(y_hat, cfg)
+                loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * 45
             if disc_active:
-                (mpd, msd) = disc.apply({"params": d_params, "batch_stats": d_stats},
-                                        y, y_hat, False)
+                (mpd, msd) = disc_apply(d_params, d_stats, y, y_hat, False)
                 loss_fm = feature_loss(mpd[2], mpd[3]) + feature_loss(msd[2], msd[3])
                 loss_adv_p, _ = generator_loss(mpd[1])
                 loss_adv_s, _ = generator_loss(msd[1])
@@ -103,7 +122,9 @@ def make_gan_step(gen, disc, tx_g, tx_d, cfg):
 def train(run_id: str, syn_dir: Path, models_dir: Path, arch: str = "hifigan",
           fine_tuning: bool = False, total_steps: Optional[int] = None,
           save_every: int = 5000, log_every: int = 10, val_every: int = 1000,
-          cfg=None, seed: int = 1234, use_mesh: bool = True):
+          cfg=None, seed: int = 1234, use_mesh: bool = True,
+          precision: str = "fp32"):
+    multihost.initialize_from_env()
     gen_cls, disc_cls, cfg_fn = ARCHS[arch]
     cfg = Config(cfg_fn()).merge(cfg or {})
     fcfg = cfg.freeze()
@@ -137,6 +158,9 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, arch: str = "hifigan",
     dataset = MelDataset(train_files, cfg, syn_dir=syn_dir, fine_tuning=fine_tuning, seed=seed)
     loader = DataLoader(dataset, cfg.batch_size, collate_gan, seed=seed)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    if mesh is not None and jax.process_count() > 1:
+        g_params, d_vars, g_opt, d_opt = multihost.make_global(
+            mesh, (g_params, d_vars, g_opt, d_opt))
 
     # validation (`hifigan/train.py:198-244`): held-out mel error + TB audio.
     # TPU-first: fixed segment crops (one compiled program) instead of the
@@ -167,7 +191,7 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, arch: str = "hifigan",
         tb.audio(step, "val/gen_audio", first_audio, cfg.sample_rate)
         print(f"step {step} | val mel err {np.mean(errs):.4f}")
 
-    step_fn = make_gan_step(gen, disc, tx_g, tx_d, fcfg)
+    step_fn = make_gan_step(gen, disc, tx_g, tx_d, fcfg, precision)
     t0, accs = time.time(), []
     done = False
     while not done:

@@ -21,6 +21,7 @@ import optax
 
 from ...config import Config
 from ...dsp import encode_mu_law, float_2_label, label_2_float, preemphasis_np
+from ...parallel import multihost
 from ...parallel.mesh import make_mesh, shard_batch
 from ...train.checkpoint import CheckpointManager
 from ...train.logging import TrainLogger
@@ -93,11 +94,18 @@ def collate_wavernn(batch, cfg, rng: Optional[random.Random] = None):
     return dict(x=x.astype(np.float32), y=y, mels=mels)
 
 
-def make_wavernn_step(model: WaveRNN, tx, mode: str):
+def make_wavernn_step(model: WaveRNN, tx, mode: str, precision: str = "fp32"):
+    from ...train.precision import Policy
+    policy = Policy.from_name(precision)
+
     def loss_fn(params, batch_stats, batch):
-        logits, mut = model.apply({"params": params, "batch_stats": batch_stats},
-                                  batch["x"], batch["mels"], True,
+        logits, mut = model.apply({"params": policy.cast(params),
+                                   "batch_stats": policy.cast(batch_stats)},
+                                  policy.cast(batch["x"]),
+                                  policy.cast(batch["mels"]), True,
                                   mutable=["batch_stats"])
+        logits = policy.uncast(logits)
+        mut = policy.uncast(mut)
         if mode == "RAW":
             logp = jax.nn.log_softmax(logits, axis=-1)
             y = batch["y"][..., None]
@@ -152,7 +160,8 @@ def gen_testset(variables, dataset: WaveRnnDataset, save_path: Path, cfg,
 def train(run_id: str, syn_dir: Path, models_dir: Path, ground_truth: bool = False,
           total_steps: Optional[int] = None, save_every: int = 1000,
           log_every: int = 10, cfg=None, seed: int = 0, use_mesh: bool = True,
-          gen_samples: int = 2):
+          gen_samples: int = 2, precision: str = "fp32"):
+    multihost.initialize_from_env()
     syn_dir = Path(syn_dir)
     cfg = Config(wavernn_config()).merge(cfg or {})
     fcfg = cfg.freeze()
@@ -183,7 +192,7 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, ground_truth: bool = Fal
     loader = DataLoader(dataset, cfg.batch_size,
                         lambda b: collate_wavernn(b, cfg, rng), seed=seed)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
-    step_fn = make_wavernn_step(model, tx, cfg.mode)
+    step_fn = make_wavernn_step(model, tx, cfg.mode, precision)
 
     t0, acc = time.time(), []
     done = False

@@ -16,6 +16,7 @@ one-hot {0,1} float mask of the same shape.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -24,16 +25,32 @@ import numpy as np
 _NEG_INF = -1e9
 
 
-@jax.jit
 def maximum_path(neg_cent: jax.Array, mask: jax.Array) -> jax.Array:
     """neg_cent (B, T_mel, T_text); mask same shape in {0,1}.
 
     Per-batch lengths are derived from the mask as in the reference wrapper
     (`monotonic_align/__init__.py:13-18`).
+
+    Dispatch: on TPU backends the Pallas kernel
+    (`monotonic_align_pallas.py`) runs the whole DP + backtrack in VMEM;
+    elsewhere (and under `MB_MAS_IMPL=scan`) the `lax.scan` row recurrence
+    below is used. Both are parity-tested against the numpy oracle and each
+    other. The DP runs in f32 regardless of the caller's compute dtype (the
+    path is an argmax — bf16 ties would perturb alignments); the returned
+    one-hot path keeps the caller's dtype.
     """
-    t_ys = jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32)  # mel lengths
-    t_xs = jnp.sum(mask[:, 0, :], axis=1).astype(jnp.int32)  # text lengths
-    return _maximum_path_impl(neg_cent * mask, t_ys, t_xs) * mask
+    in_dtype = neg_cent.dtype
+    neg_cent = neg_cent.astype(jnp.float32)
+    mask_f = mask.astype(jnp.float32)
+    t_ys = jnp.sum(mask_f[:, :, 0], axis=1).astype(jnp.int32)  # mel lengths
+    t_xs = jnp.sum(mask_f[:, 0, :], axis=1).astype(jnp.int32)  # text lengths
+    impl = os.environ.get("MB_MAS_IMPL", "auto")
+    if impl != "scan" and jax.default_backend() in ("tpu", "axon"):
+        from .monotonic_align_pallas import maximum_path_pallas
+        path = maximum_path_pallas(neg_cent * mask_f, t_ys, t_xs)
+    else:
+        path = _maximum_path_impl(neg_cent * mask_f, t_ys, t_xs)
+    return (path * mask_f).astype(in_dtype)
 
 
 def maximum_path_with_lengths(neg_cent, t_ys, t_xs):

@@ -100,13 +100,8 @@ def maximum_path_pallas(neg_cent: jax.Array, t_ys: jax.Array, t_xs: jax.Array,
 
 
 def maximum_path_auto(neg_cent, mask):
-    """mask-interface dispatcher: Pallas on TPU, lax.scan elsewhere."""
-    from .monotonic_align import maximum_path as scan_impl
-    t_ys = jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32)
-    t_xs = jnp.sum(mask[:, 0, :], axis=1).astype(jnp.int32)
-    if jax.default_backend() in ("tpu", "axon"):
-        try:
-            return maximum_path_pallas(neg_cent * mask, t_ys, t_xs) * mask
-        except Exception:
-            pass
-    return scan_impl(neg_cent, mask)
+    """Deprecated alias: `monotonic_align.maximum_path` now dispatches to
+    this kernel on TPU backends itself (the VITS hot path at
+    `models/vits/model.py` uses it directly)."""
+    from .monotonic_align import maximum_path
+    return maximum_path(neg_cent, mask)

@@ -45,9 +45,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Optional[Mesh], batch, axis: int = 0):
-    """Place a host array onto the mesh, sharded over 'data'. No-op mesh=None."""
+    """Place a host array onto the mesh, sharded over 'data'. No-op mesh=None.
+
+    Multi-process: every process computes the same global batch; each
+    contributes its row slice via `jax.make_array_from_process_local_data`
+    (see `parallel/multihost.py`)."""
     if mesh is None:
         return batch
+    if jax.process_count() > 1:
+        from .multihost import shard_global_batch
+        return shard_global_batch(mesh, batch)
     return jax.tree.map(
         lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x), axis)), batch)
 

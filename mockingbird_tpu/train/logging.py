@@ -47,7 +47,10 @@ class TrainLogger:
 
     def __init__(self, log_dir: Optional[Path] = None, enabled: bool = True):
         self.writer = None
-        if enabled and log_dir is not None:
+        # multi-process: only rank 0 writes, matching the reference's
+        # `rank == 0` guards (`train_vits.py:283-317`)
+        import jax
+        if enabled and log_dir is not None and jax.process_index() == 0:
             try:
                 from tensorboardX import SummaryWriter
                 Path(log_dir).mkdir(parents=True, exist_ok=True)

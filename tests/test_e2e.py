@@ -4,6 +4,8 @@ TTS through the Pipeline facade. Small configs, CPU, a few minutes."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full preprocess->train pipelines (SURVEY.md 4f)
+
 import jax
 import jax.numpy as jnp
 

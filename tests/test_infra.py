@@ -112,6 +112,7 @@ def test_cli_parser():
     assert args.command == "demo"
 
 
+@pytest.mark.slow
 def test_cli_demo_repl(tmp_path, sample_wav, monkeypatch):
     """The interactive demo loop: scripted stdin → wav files on disk."""
     import scipy.io.wavfile as wavfile
@@ -199,6 +200,7 @@ def test_spmd_data_parallel_training_8dev():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     """The driver's multichip dryrun must work on the 8-device CPU mesh."""
     import sys

@@ -133,6 +133,7 @@ def test_conv_transpose_all_strides():
         np.testing.assert_allclose(yf, yt, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tacotron_equivalence():
     """Full Tacotron (CBHG + GST + LSA decoder + postnet) teacher-forced
     forward matches the reference exactly with converted weights (dropout and
@@ -197,6 +198,7 @@ def _tiny_vits_cfg(use_sdp=True):
 
 
 @pytest.mark.parametrize("use_sdp", [True, False])
+@pytest.mark.slow
 def test_vits_infer_equivalence(use_sdp):
     """Full VITS inference path (TextEncoder → duration predictor reverse →
     generate_path → flow reverse → decoder) matches the reference bit-for-bit

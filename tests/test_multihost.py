@@ -1,0 +1,99 @@
+"""Multi-host (multi-process) SPMD training: 2 processes × 4 virtual CPU
+devices must train to losses identical to one process × 8 devices
+(SURVEY.md §2.7 'jax.distributed.initialize() + DCN mesh'; the reference's
+DDP is `/root/reference/models/synthesizer/train_vits.py:126-171`)."""
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+WORKER = Path(__file__).parent / "_multiproc_worker.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_workers(num_processes: int, local_devices: int, timeout: int = 600):
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "MB_COORDINATOR",
+                        "MB_NUM_PROCESSES", "MB_PROCESS_ID")}
+    procs = []
+    for pid in range(num_processes):
+        cfg = dict(num_processes=num_processes, process_id=pid,
+                   local_devices=local_devices, port=port)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(WORKER), json.dumps(cfg)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=str(Path(__file__).parent.parent), env=env, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    losses = None
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("LOSSES "):
+                losses = json.loads(line[len("LOSSES "):])
+    assert losses is not None, "no LOSSES line from rank 0:\n" + outs[0][-2000:]
+    return losses
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process():
+    single = _run_workers(1, 8)
+    multi = _run_workers(2, 4)
+    assert np.isfinite(single).all() and np.isfinite(multi).all()
+    np.testing.assert_allclose(multi, single, rtol=1e-5, err_msg=
+                               f"single={single} multi={multi}")
+
+
+def test_bucket_batcher_sharding():
+    """Per-rank strided shards partition each global batch; shapes static
+    across ranks (`vits_dataset.py:228-240` semantics)."""
+    from mockingbird_tpu.models.vits.train import BucketBatcher
+
+    class FakeDataset:
+        cfg = type("C", (), {"hop_size": 16, "spec_channels": 5,
+                             "emotion_channels": 4})()
+        cleaner_names = ["basic_cleaners"]
+
+        def __init__(self):
+            rng = np.random.RandomState(0)
+            self.lengths = [int(rng.randint(40, 290)) for _ in range(24)]
+            self.items = [(f"a{i}.npy", i % 3, "ni hao shi jie") for i in range(24)]
+
+        def __getitem__(self, i):
+            n = self.lengths[i]
+            seq = np.arange(4 + i % 5, dtype=np.int32) + 1
+            spec = np.full((n, 5), float(i), np.float32)
+            wav = np.full((n * 16,), float(i), np.float32)
+            return seq, spec, wav, i % 3, np.zeros((4,), np.float32)
+
+    ds = FakeDataset()
+    shards = [BucketBatcher(ds, 2, boundaries=(32, 300), seed=5,
+                            num_shards=2, shard_index=k) for k in range(2)]
+    whole = BucketBatcher(ds, 4, boundaries=(32, 300), seed=5)
+
+    b0 = list(shards[0])
+    b1 = list(shards[1])
+    bw = list(whole)
+    assert len(b0) == len(b1) == len(bw) > 0
+    for x0, x1, xw in zip(b0, b1, bw):
+        # static shapes agree across ranks and with the global batcher
+        for k in x0:
+            assert x0[k].shape == x1[k].shape, k
+        # union of rank rows == the global batch rows (strided interleave)
+        ids0 = x0["specs"][:, 0, 0]
+        ids1 = x1["specs"][:, 0, 0]
+        idw = xw["specs"][:, 0, 0]
+        np.testing.assert_array_equal(np.stack([ids0, ids1], 1).reshape(-1), idw)

@@ -77,6 +77,7 @@ def small_p2m_cfg():
         num_mels=20))
 
 
+@pytest.mark.slow
 def test_ppg2mel_forward_and_train_step():
     import optax
     cfg = small_p2m_cfg()
@@ -105,6 +106,7 @@ def test_ppg2mel_forward_and_train_step():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_vc_train_with_dev_validation(tmp_path, capsys):
     """VC trainer with dev-split validation, best-loss checkpoint and
     attention dumps (`train/solver.py:13-216`,
@@ -152,6 +154,7 @@ def test_mol_attention_moves_forward():
     assert np.asarray(alpha).shape == (1, 20)
 
 
+@pytest.mark.slow
 def test_vc_decode_loop():
     """End-to-end decode with fresh weights through the VoiceConverter's
     jitted while-loop (small model, CPU)."""

@@ -25,6 +25,7 @@ def small_model():
     return init_tacotron(jax.random.PRNGKey(0), small_cfg())
 
 
+@pytest.mark.slow
 def test_forward_shapes(small_model):
     model, variables = small_model
     texts = jnp.asarray(np.random.RandomState(0).randint(1, 60, (2, 12)), jnp.int32)
@@ -44,6 +45,7 @@ def test_forward_shapes(small_model):
     assert (np.asarray(stop) >= 0).all() and (np.asarray(stop) <= 1).all()
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(small_model):
     import optax
     model, variables = small_model

@@ -118,6 +118,7 @@ def test_generate_path():
     np.testing.assert_array_equal(path, expect)
 
 
+@pytest.mark.slow
 def test_vits_forward_and_infer(vits_small):
     model, variables = vits_small
     rng = np.random.RandomState(0)
@@ -147,6 +148,7 @@ def test_vits_forward_and_infer(vits_small):
     assert (np.asarray(iyl) >= 1).all()
 
 
+@pytest.mark.slow
 def test_vits_train_step_reduces_loss(vits_small):
     import optax
     from mockingbird_tpu.models.vits.train import make_vits_step
@@ -190,6 +192,7 @@ def test_slice_segments():
                                   [[2, 3, 4, 5], [17, 18, 19, 20]])
 
 
+@pytest.mark.slow
 def test_vits_synthesizer_pcm16():
     """VitsSynthesizer's on-device int16 path matches the float path."""
     from mockingbird_tpu.models.vits.inference import VitsSynthesizer

@@ -36,6 +36,7 @@ def test_hifigan_shapes_and_lengths():
     assert np.abs(np.asarray(wav)).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_discriminators_and_losses():
     disc = HifiganDiscriminators()
     y = jnp.asarray(np.random.RandomState(0).randn(2, 1600), jnp.float32) * 0.1
@@ -51,6 +52,7 @@ def test_discriminators_and_losses():
     assert float(feature_loss(mpd2[2], mpd2[3])) < 1e-6
 
 
+@pytest.mark.slow
 def test_fregan_generator_and_disc():
     cfg = Config(fregan_config()).merge(dict(
         upsample_rates=[4, 2, 2], upsample_kernel_sizes=[8, 4, 4],
@@ -152,6 +154,7 @@ def test_gan_vocoder_wrapper():
     assert wav.shape == (37 * 16,)
 
 
+@pytest.mark.slow
 def test_gan_train_step_reduces_mel_loss(tmp_path):
     from mockingbird_tpu.models.vocoder.gan_train import make_gan_step
     import optax
@@ -183,3 +186,43 @@ def test_gan_train_step_reduces_mel_loss(tmp_path):
         mls.append(float(mel_l))
     assert np.isfinite(mls).all()
     assert mls[-1] < mls[0], mls
+
+
+def test_multi_resolution_stft_loss():
+    """MRSTFT aux loss (`fregan/stft_loss.py:98-135`) vs a numpy STFT oracle."""
+    from mockingbird_tpu.models.vocoder.gan_losses import (
+        multi_resolution_stft_loss, stft_loss)
+
+    rng = np.random.RandomState(3)
+    t = np.arange(4096) / 16000
+    y = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
+    x = (y + 0.05 * rng.randn(*y.shape)).astype(np.float32)
+
+    # identical signals -> zero loss
+    sc0, mag0 = multi_resolution_stft_loss(jnp.asarray(y), jnp.asarray(y))
+    assert float(sc0) < 1e-5 and float(mag0) < 1e-4
+
+    # single-resolution values vs numpy oracle (torch.stft semantics:
+    # center reflect pad, periodic hann, clamp 1e-7)
+    fft_size, hop, win = 512, 50, 240
+    def np_mag(sig):
+        w = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(win) / win)
+        wp = np.zeros(fft_size)
+        lpad = (fft_size - win) // 2
+        wp[lpad:lpad + win] = w
+        s = np.pad(sig[0], (fft_size // 2, fft_size // 2), mode="reflect")
+        n_frames = 1 + (len(s) - fft_size) // hop
+        frames = np.stack([s[i * hop:i * hop + fft_size] * wp for i in range(n_frames)])
+        spec = np.fft.rfft(frames, axis=-1)
+        return np.sqrt(np.maximum(np.abs(spec) ** 2, 1e-7))
+
+    xm, ym = np_mag(x), np_mag(y)
+    sc_ref = np.linalg.norm(ym - xm) / np.linalg.norm(ym)
+    mag_ref = np.mean(np.abs(np.log(ym) - np.log(xm)))
+    sc, mag = stft_loss(jnp.asarray(x), jnp.asarray(y), fft_size, hop, win)
+    np.testing.assert_allclose(float(sc), sc_ref, rtol=1e-3)
+    np.testing.assert_allclose(float(mag), mag_ref, rtol=1e-3)
+
+    # multi-resolution is the mean over resolutions and positive for noisy x
+    scm, magm = multi_resolution_stft_loss(jnp.asarray(x), jnp.asarray(y))
+    assert float(scm) > 0 and float(magm) > 0

@@ -45,6 +45,7 @@ def _flax_cfg(stable: bool, norm: str):
 
 
 @pytest.mark.parametrize("stable,norm", [(True, "layer"), (False, "group")])
+@pytest.mark.slow
 def test_wav2vec2_equivalence(stable, norm):
     """Flax Wav2Vec2 == torch Wav2Vec2Model for both encoder variants
     (robust = stable-LN + layer-norm feature extractor; base = post-LN +
@@ -65,6 +66,7 @@ def test_wav2vec2_equivalence(stable, norm):
 
 
 @pytest.mark.parametrize("stable,norm", [(True, "layer"), (False, "group")])
+@pytest.mark.slow
 def test_wav2vec2_masked_equivalence(stable, norm):
     """Padded-batch extraction matches torch attention_mask semantics on the
     valid frames."""
