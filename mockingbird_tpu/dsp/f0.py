@@ -15,7 +15,12 @@ from scipy.interpolate import interp1d
 
 def compute_f0(wav: np.ndarray, sr: int = 16000, frame_period: float = 10.0,
                f0_floor: float = 80.0, f0_ceil: float = 600.0) -> np.ndarray:
-    """Frame-rate F0 track, 0 for unvoiced (`f0_utils.py:14-19` contract)."""
+    """Frame-rate F0 track, 0 for unvoiced (`f0_utils.py:14-19` contract).
+
+    Fully vectorised over frames: one strided frame gather, one batched FFT
+    autocorrelation, vectorised peak refinement and voicing — no per-frame
+    Python loop (a real VC corpus is minutes of audio per utterance).
+    """
     wav = np.asarray(wav, np.float64)
     hop = int(sr * frame_period / 1000)
     win = int(sr * 0.04)  # 40 ms analysis window
@@ -25,46 +30,47 @@ def compute_f0(wav: np.ndarray, sr: int = 16000, frame_period: float = 10.0,
 
     lag_min = int(sr / f0_ceil)
     lag_max = min(int(sr / f0_floor), win - 1)
-
-    f0 = np.zeros(n_frames, np.float32)
-    clarity = np.zeros(n_frames, np.float32)
     rms_all = np.sqrt(np.mean(wav**2) + 1e-12)
 
-    for i in range(n_frames):
-        seg = x[i * hop : i * hop + win]
-        seg = seg - seg.mean()
-        rms = np.sqrt(np.mean(seg**2) + 1e-12)
-        if rms < 0.05 * rms_all:
-            continue
-        # normalized autocorrelation via FFT
-        n_fft = int(2 ** np.ceil(np.log2(2 * win)))
-        spec = np.fft.rfft(seg, n_fft)
-        ac = np.fft.irfft(spec * np.conj(spec))[: lag_max + 1]
-        if ac[0] <= 0:
-            continue
-        nac = ac / ac[0]
-        band = nac[lag_min : lag_max + 1]
-        k = int(np.argmax(band)) + lag_min
-        # parabolic interpolation around the peak
-        if 1 <= k < lag_max:
-            a, b, c = nac[k - 1], nac[k], nac[k + 1]
-            denom = a - 2 * b + c
-            shift = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0
-            k_ref = k + np.clip(shift, -1, 1)
-        else:
-            k_ref = k
-        clarity[i] = nac[k]
-        f0[i] = sr / k_ref
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(win)[None, :]
+    segs = x[idx]
+    segs = segs - segs.mean(axis=1, keepdims=True)
+    rms = np.sqrt(np.mean(segs**2, axis=1) + 1e-12)
 
-    voiced = clarity > 0.5
-    f0 = np.where(voiced, f0, 0.0).astype(np.float32)
-    # median smoothing of the voiced track to kill octave glitches
-    f0s = f0.copy()
-    for i in range(1, n_frames - 1):
-        if f0[i] > 0:
-            window = [v for v in f0[max(0, i - 1): i + 2] if v > 0]
-            f0s[i] = np.median(window)
-    return f0s
+    # normalized autocorrelation via batched FFT
+    n_fft = int(2 ** np.ceil(np.log2(2 * win)))
+    spec = np.fft.rfft(segs, n_fft, axis=1)
+    ac = np.fft.irfft(spec * np.conj(spec), axis=1)[:, : lag_max + 1]
+    valid = (rms >= 0.05 * rms_all) & (ac[:, 0] > 0)
+    nac = ac / np.where(ac[:, :1] > 0, ac[:, :1], 1.0)
+
+    rows = np.arange(n_frames)
+    k = np.argmax(nac[:, lag_min : lag_max + 1], axis=1) + lag_min
+    # parabolic interpolation around the peak
+    a = nac[rows, np.maximum(k - 1, 0)]
+    b = nac[rows, k]
+    c = nac[rows, np.minimum(k + 1, lag_max)]
+    denom = a - 2 * b + c
+    interp_ok = (k >= 1) & (k < lag_max) & (np.abs(denom) > 1e-12)
+    shift = np.where(interp_ok, 0.5 * (a - c) / np.where(interp_ok, denom, 1.0), 0.0)
+    k_ref = k + np.clip(shift, -1, 1)
+
+    clarity = np.where(valid, b, 0.0)
+    f0 = np.where(valid & (clarity > 0.5), sr / k_ref, 0.0).astype(np.float32)
+
+    # 3-tap median smoothing over the voiced neighbours (octave-glitch killer);
+    # np.median of a 2-element window is their mean, as in the loop original
+    if n_frames > 2:
+        l, m, r = f0[:-2], f0[1:-1], f0[2:]
+        lp, rp = l > 0, r > 0
+        med3 = np.maximum(np.minimum(l, m), np.minimum(np.maximum(l, m), r))
+        smoothed = np.where(lp & rp, med3,
+                            np.where(lp, (l + m) / 2,
+                                     np.where(rp, (m + r) / 2, m)))
+        f0s = f0.copy()
+        f0s[1:-1] = np.where(m > 0, smoothed, f0[1:-1])
+        return f0s.astype(np.float32)
+    return f0
 
 
 # -- lf0 / UV transforms (parity: `f0_utils.py:21-124`) ----------------------
