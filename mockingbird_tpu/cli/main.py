@@ -219,6 +219,18 @@ def build_parser() -> argparse.ArgumentParser:
                     default="stretch")
     sp.set_defaults(func=cmd_render_timeline)
 
+    sp = sub.add_parser(
+        "launch", help="spawn N local training processes connected via "
+        "jax.distributed (the reference's mp.spawn, "
+        "control/cli/vocoder_train.py:73-79); on TPU pods run one process "
+        "per host with MB_COORDINATOR/MB_NUM_PROCESSES/MB_PROCESS_ID instead")
+    sp.add_argument("--nprocs", type=int, default=2)
+    sp.add_argument("--port", type=int, default=0, help="coordinator port (0=auto)")
+    sp.add_argument("cmd", nargs=argparse.REMAINDER,
+                    help="CLI command to run in each process, e.g. "
+                         "train-vits <syn_dir> run1 --batch_size 16")
+    sp.set_defaults(func=cmd_launch)
+
     sp = sub.add_parser("serve", help="HTTP toolbox console + API (web.py / demo_toolbox.py)")
     sp.add_argument("--port", type=int, default=8080)
     sp.add_argument("--encoder", type=Path, default=None)
@@ -422,6 +434,37 @@ def cmd_render_timeline(args):
         on_progress=lambda i, n: print(f"  cue {i}/{n}", flush=True))
     print(f"rendered {len(result.segments)} cues, "
           f"{result.duration_s:.2f}s -> {args.out}")
+
+
+def cmd_launch(args):
+    """Local multi-process launcher: N copies of this CLI with the
+    jax.distributed coordinator env set (MB_COORDINATOR et al.)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    cmd = [c for c in args.cmd if c != "--"]
+    if not cmd:
+        raise SystemExit("launch: give a CLI command after --, e.g. "
+                         "launch --nprocs 2 -- train-vits syn run1")
+    port = args.port
+    if not port:
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+    procs = []
+    for pid in range(args.nprocs):
+        env = dict(os.environ,
+                   MB_COORDINATOR=f"localhost:{port}",
+                   MB_NUM_PROCESSES=str(args.nprocs),
+                   MB_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "mockingbird_tpu.cli"] + cmd, env=env))
+    rc = 0
+    for p in procs:
+        rc = max(rc, p.wait())
+    raise SystemExit(rc)
 
 
 def cmd_serve(args):

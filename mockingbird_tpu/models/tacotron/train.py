@@ -204,11 +204,19 @@ def _save_eval_artifacts(eval_dir: Path, step: int, batch, attn, post=None,
     """Eval artifacts for sample 0 of the training batch, mirroring
     `eval_model` (`train.py:240-277, 286-316`): attention PNG, predicted-mel
     .npy, Griffin-Lim wav, and predicted-vs-target mel plot (+ TensorBoard)."""
+    a0 = np.asarray(attn)[0]
+    try:
+        # raw attention + text length, for alignment-quality analysis
+        # (scripts/attention_run.py diagonality metric)
+        t_len = int((np.asarray(batch["texts"])[0] != 0).sum())
+        np.savez(eval_dir / f"attention_{step:06d}.npz", attn=a0, text_len=t_len)
+    except Exception:
+        pass
     try:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-        a = np.asarray(attn)[0]
+        a = a0
         fig, ax = plt.subplots(figsize=(6, 4))
         ax.imshow(a.T, aspect="auto", origin="lower", interpolation="none")
         ax.set_xlabel("decoder step"); ax.set_ylabel("char")

@@ -246,6 +246,48 @@ class WaveRnnVocoder:
             print("WaveRNN: fresh (untrained) weights")
         self.variables = variables
 
+    @functools.lru_cache(maxsize=8)
+    def _fused_pallas_fn(self, t_up: int, target: int, overlap: int,
+                         greedy: bool = False):
+        """One jitted program: upsample → fold (device gather) → Pallas
+        sampling kernel. Nothing but the sampled labels ever crosses the
+        device→host link — the r1 path fetched the full upsampled
+        conditioning (~13 MB/audio-second) to fold on host, which at tunnel
+        bandwidth capped WaveRNN at ~1.7× realtime despite a ~30 µs/step
+        kernel. Fused, the same kernel sustains >100× realtime."""
+        from ...ops.wavernn_sample import wavernn_sample_pallas
+
+        model, variables, cfg = self.model, self.variables, self.cfg
+        n_classes = 2 ** cfg.bits
+        packed = self._packed_weights()
+        width = target + 2 * overlap
+        num_folds = max((t_up - overlap) // (target + overlap), 0)
+        extended = num_folds * (overlap + target) + overlap
+        if t_up - extended > 0:
+            num_folds += 1
+        starts = np.arange(num_folds) * (target + overlap)
+        idx = starts[:, None] + np.arange(width)[None, :]    # (F, width)
+
+        @jax.jit
+        def run(mel_p, seed):
+            mels_up, aux = model.apply(variables, mel_p,
+                                       method=WaveRNN.upsample_features)
+            pad = max(starts[-1] + width - t_up, 0) if num_folds else 0
+            mels_up = jnp.pad(mels_up, ((0, 0), (0, pad), (0, 0)))
+            aux = jnp.pad(aux, ((0, 0), (0, pad), (0, 0)))
+            mels_f = mels_up[0, idx]                         # (F, width, M)
+            aux_f = aux[0, idx]
+            return wavernn_sample_pallas(packed, mels_f, aux_f, seed,
+                                         n_classes, greedy=greedy)
+
+        return run, num_folds
+
+    def _packed_weights(self):
+        if not hasattr(self, "_packed_w"):
+            from ...ops.wavernn_sample import pack_wavernn_weights
+            self._packed_w = pack_wavernn_weights(self.variables["params"])
+        return self._packed_w
+
     @functools.lru_cache(maxsize=4)
     def _gen_fn(self, num_folds: int, seq_len: int, greedy: bool = False):
         model, variables, cfg = self.model, self.variables, self.cfg
@@ -313,32 +355,48 @@ class WaveRnnVocoder:
         wave_len = (mel.shape[0] - 1) * cfg.hop_size
 
         mel_p = np.pad(mel, ((cfg.pad, cfg.pad), (0, 0)))[None]  # (1, T+2p, M)
-        mels_up, aux = jax.jit(functools.partial(self.model.apply, self.variables,
-                                                 method=WaveRNN.upsample_features))(
-            jnp.asarray(mel_p))
-        mels_up, aux = np.asarray(mels_up), np.asarray(aux)
 
-        if batched:
-            mels_f = fold_with_overlap(mels_up, target, overlap)
-            aux_f = fold_with_overlap(aux, target, overlap)
-        else:
-            mels_f, aux_f = mels_up, aux
-
-        if use_pallas and cfg.mode == "RAW":
-            # fused VMEM-resident sampling kernel (ops/wavernn_sample.py)
-            from ...ops.wavernn_sample import (pack_wavernn_weights,
-                                               wavernn_sample_pallas)
-            if not hasattr(self, "_packed_w"):
-                self._packed_w = pack_wavernn_weights(self.variables["params"])
-            labels = wavernn_sample_pallas(
-                self._packed_w, jnp.asarray(mels_f), jnp.asarray(aux_f),
-                seed, 2 ** cfg.bits, greedy=greedy)
+        if use_pallas and cfg.mode == "RAW" and batched:
+            # fused on-device path: upsample → fold → VMEM sampling kernel in
+            # one jitted program; only the (F, width) int32 labels come back.
+            # Mel length is bucketed (edge-padded to a 100-frame multiple;
+            # the surplus audio falls past wave_len and is trimmed below) so
+            # serving compiles one program per ~1.6 s bucket, not one per
+            # utterance length.
+            bucket = 100
+            t0_frames = mel.shape[0]
+            t_bucket = max(bucket, ((t0_frames + bucket - 1) // bucket) * bucket)
+            mel_b = (np.pad(mel, ((0, t_bucket - t0_frames), (0, 0)), mode="edge")
+                     if t_bucket != t0_frames else mel)
+            mel_bp = np.pad(mel_b, ((cfg.pad, cfg.pad), (0, 0)))[None]
+            t_up = t_bucket * cfg.hop_size
+            run, num_folds = self._fused_pallas_fn(t_up, target, overlap, greedy)
+            labels = run(jnp.asarray(mel_bp), seed)
             samples = (2.0 * np.asarray(labels, np.float64)
                        / (2 ** cfg.bits - 1.0) - 1.0)
         else:
-            gen = self._gen_fn(mels_f.shape[0], mels_f.shape[1], greedy)
-            samples = np.asarray(gen(jnp.asarray(mels_f), jnp.asarray(aux_f),
-                                     jax.random.PRNGKey(seed)), np.float64)
+            mels_up, aux = jax.jit(functools.partial(
+                self.model.apply, self.variables,
+                method=WaveRNN.upsample_features))(jnp.asarray(mel_p))
+            mels_up, aux = np.asarray(mels_up), np.asarray(aux)
+
+            if batched:
+                mels_f = fold_with_overlap(mels_up, target, overlap)
+                aux_f = fold_with_overlap(aux, target, overlap)
+            else:
+                mels_f, aux_f = mels_up, aux
+
+            if use_pallas and cfg.mode == "RAW":
+                from ...ops.wavernn_sample import wavernn_sample_pallas
+                labels = wavernn_sample_pallas(
+                    self._packed_weights(), jnp.asarray(mels_f),
+                    jnp.asarray(aux_f), seed, 2 ** cfg.bits, greedy=greedy)
+                samples = (2.0 * np.asarray(labels, np.float64)
+                           / (2 ** cfg.bits - 1.0) - 1.0)
+            else:
+                gen = self._gen_fn(mels_f.shape[0], mels_f.shape[1], greedy)
+                samples = np.asarray(gen(jnp.asarray(mels_f), jnp.asarray(aux_f),
+                                         jax.random.PRNGKey(seed)), np.float64)
 
         if batched:
             output = xfade_and_unfold(samples, overlap)

@@ -31,21 +31,26 @@ def maximum_path(neg_cent: jax.Array, mask: jax.Array) -> jax.Array:
     Per-batch lengths are derived from the mask as in the reference wrapper
     (`monotonic_align/__init__.py:13-18`).
 
-    Dispatch: on TPU backends the Pallas kernel
-    (`monotonic_align_pallas.py`) runs the whole DP + backtrack in VMEM;
-    elsewhere (and under `MB_MAS_IMPL=scan`) the `lax.scan` row recurrence
-    below is used. Both are parity-tested against the numpy oracle and each
-    other. The DP runs in f32 regardless of the caller's compute dtype (the
-    path is an argmax — bf16 ties would perturb alignments); the returned
-    one-hot path keeps the caller's dtype.
+    Dispatch: the `lax.scan` row recurrence below is the default — measured
+    FASTER than the Pallas VMEM kernel on a real v5e chip at training shapes
+    (amortised, tunnel-latency-free: scan 3.0/5.9 ms vs Pallas 3.7/7.6 ms at
+    (16,400,96)/(16,1000,160)), because each scan step updates all B rows on
+    the VPU while the Pallas grid serialises over batch. `MB_MAS_IMPL=pallas`
+    opts into the kernel (`monotonic_align_pallas.py`, parity-tested on-chip
+    by tests/test_monotonic_align.py). Either way the whole search stays on
+    device — the reference round-trips through host numpy + a Cython kernel
+    every training step (`monotonic_align/__init__.py:13-19`). The DP runs in
+    f32 regardless of the caller's compute dtype (the path is an argmax —
+    bf16 ties would perturb alignments); the returned one-hot path keeps the
+    caller's dtype.
     """
     in_dtype = neg_cent.dtype
     neg_cent = neg_cent.astype(jnp.float32)
     mask_f = mask.astype(jnp.float32)
     t_ys = jnp.sum(mask_f[:, :, 0], axis=1).astype(jnp.int32)  # mel lengths
     t_xs = jnp.sum(mask_f[:, 0, :], axis=1).astype(jnp.int32)  # text lengths
-    impl = os.environ.get("MB_MAS_IMPL", "auto")
-    if impl != "scan" and jax.default_backend() in ("tpu", "axon"):
+    impl = os.environ.get("MB_MAS_IMPL", "scan")
+    if impl == "pallas" and jax.default_backend() in ("tpu", "axon"):
         from .monotonic_align_pallas import maximum_path_pallas
         path = maximum_path_pallas(neg_cent * mask_f, t_ys, t_xs)
     else:

