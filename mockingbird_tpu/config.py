@@ -217,6 +217,10 @@ def sv2tts_audio_config() -> Config:
         allow_clipping_in_normalization=True,
         power=1.5,
         griffin_lim_iters=60,
+        # fast single-pass phase recovery (SPSI) instead of Griffin-Lim —
+        # the TPU stand-in for the reference's `use_lws` option
+        # (`models/synthesizer/audio.py:76-95`); off by default like use_lws
+        use_fast_phase=False,
         rescale=True,
         rescaling_max=0.9,
         max_mel_frames=900,

@@ -1,7 +1,8 @@
 from .mel import mel_filterbank, hz_to_mel, mel_to_hz  # noqa: F401
 from .stft import (  # noqa: F401
     stft, istft, stft_magnitude, frame,
-    melspectrogram, linearspectrogram, inv_mel_spectrogram, griffin_lim,
+    melspectrogram,
+    melspectrogram_bucketed, linearspectrogram, inv_mel_spectrogram, griffin_lim,
     spectrogram_vits, spec_to_mel_vits, mel_vits, mel_encoder,
     preemphasis, inv_preemphasis, amp_to_db, db_to_amp,
     normalize_db, denormalize_db,

@@ -246,6 +246,52 @@ def melspectrogram(wav: jax.Array, cfg) -> jax.Array:
     return S
 
 
+def melspectrogram_bucketed(wav: np.ndarray, cfg, bucket_samples: int = 16384) -> np.ndarray:
+    """Exactly `melspectrogram`'s output for a host wav of ANY length with
+    O(#length-buckets) compilations instead of one per length.
+
+    Preprocessing feeds utterances of arbitrary length; on a TPU backend the
+    eager/per-shape dispatch of `melspectrogram` recompiles its op chain for
+    every new length (minutes per corpus). Here preemphasis + the center
+    reflect-pad happen host-side (bit-identical math), the signal is
+    zero-appended to a bucket multiple, one jitted center=False mel program
+    runs per bucket size, and the surplus frames are trimmed — frames within
+    the original range only read original samples, so the result equals
+    `melspectrogram(wav, cfg)` exactly (tested).
+    """
+    wav = np.asarray(wav, np.float32)
+    n_frames = 1 + len(wav) // cfg.hop_size
+    if cfg.preemphasize:
+        k = np.float32(cfg.preemphasis)
+        wav_p = np.concatenate([wav[:1], wav[1:] - k * wav[:-1]])
+    else:
+        wav_p = wav
+    half = cfg.n_fft // 2
+    x = np.pad(wav_p, (half, half), mode="reflect")
+    x = np.pad(x, (0, (-(len(x) - cfg.n_fft)) % bucket_samples))
+    mel = _mel_core_jit(_freeze(cfg))(jnp.asarray(x))
+    return np.asarray(mel[:n_frames], np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _mel_core_jit(frozen_cfg):
+    from ..config import Config
+    cfg = Config(dict(frozen_cfg))
+
+    @jax.jit
+    def f(x):
+        mag = stft_magnitude(x, cfg.n_fft, cfg.hop_size, cfg.win_size, center=False)
+        melb = jnp.asarray(_mel_basis(cfg.sample_rate, cfg.n_fft, cfg.num_mels,
+                                      cfg.fmin, cfg.fmax))
+        S = amp_to_db(_mm(mag, melb), cfg.min_level_db) - cfg.ref_level_db
+        if cfg.signal_normalization:
+            return normalize_db(S, cfg.min_level_db, cfg.max_abs_value,
+                                cfg.symmetric_mels, cfg.allow_clipping_in_normalization)
+        return S
+
+    return f
+
+
 def linearspectrogram(wav: jax.Array, cfg) -> jax.Array:
     """SV2TTS linear spectrogram (`models/synthesizer/audio.py:51-57`)."""
     x = preemphasis(wav, cfg.preemphasis) if cfg.preemphasize else wav
@@ -288,11 +334,69 @@ def _inv_mel_impl(mel: jax.Array, key: jax.Array, cfg) -> jax.Array:
     inv_b = jnp.asarray(np.linalg.pinv(
         _mel_basis(cfg.sample_rate, cfg.n_fft, cfg.num_mels, cfg.fmin, cfg.fmax)).astype(np.float32))
     linear = jnp.maximum(1e-10, _mm(amp, inv_b))  # (T, bins)
-    y = griffin_lim(linear ** cfg.power, cfg.n_fft, cfg.hop_size, cfg.win_size,
-                    n_iters=cfg.griffin_lim_iters, key=key)
+    if cfg.get("use_fast_phase", False):
+        y = spsi(linear ** cfg.power, cfg.n_fft, cfg.hop_size, cfg.win_size)
+    else:
+        y = griffin_lim(linear ** cfg.power, cfg.n_fft, cfg.hop_size, cfg.win_size,
+                        n_iters=cfg.griffin_lim_iters, key=key)
     if cfg.preemphasize:
         y = inv_preemphasis(y, cfg.preemphasis)
     return y
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "win_length"))
+def spsi(S_mag: jax.Array, n_fft: int, hop: int, win_length: int) -> jax.Array:
+    """Single-Pass Spectrogram Inversion (Beauregard et al. 2015): the fast
+    non-iterative phase-recovery option, standing in for the reference's lws
+    alternative to Griffin-Lim (`models/synthesizer/audio.py:76-95`,
+    `use_lws`). TPU-first: per-frame peak picking / phase locking is fully
+    vectorised over bins; frames advance in one `lax.scan` carrying the
+    per-bin phase accumulator — a single pass vs 60 GL iterations (~20×
+    less work), at slightly lower phase quality.
+
+    S_mag is time-major (frames, bins); returns the waveform.
+    """
+    n_frames, n_bins = S_mag.shape[-2], S_mag.shape[-1]
+    k = jnp.arange(n_bins, dtype=jnp.float32)
+
+    def frame_step(phase_acc, mag):
+        left = jnp.concatenate([mag[:1], mag[:-1]])
+        right = jnp.concatenate([mag[1:], mag[-1:]])
+        is_peak = (mag > left) & (mag >= right) & (mag > 1e-8)
+        # quadratic interpolation of the peak's fractional bin
+        denom = left - 2 * mag + right
+        frac = jnp.where(is_peak & (jnp.abs(denom) > 1e-12),
+                         0.5 * (left - right) / jnp.where(
+                             jnp.abs(denom) > 1e-12, denom, 1.0), 0.0)
+        frac = jnp.clip(frac, -0.5, 0.5)
+        # nearest peak per bin (region locking): distance transform via two
+        # cumulative scans over the static bin axis
+        peak_pos = jnp.where(is_peak, k, -jnp.inf)
+        last_peak = jax.lax.associative_scan(jnp.maximum, peak_pos)       # ≤ k
+        next_peak = -jax.lax.associative_scan(
+            jnp.maximum, -jnp.where(is_peak, k, jnp.inf)[::-1])[::-1]    # ≥ k
+        d_last = jnp.where(jnp.isfinite(last_peak), k - last_peak, jnp.inf)
+        d_next = jnp.where(jnp.isfinite(next_peak), next_peak - k, jnp.inf)
+        assigned = jnp.where(d_last <= d_next, last_peak, next_peak)
+        has_peak = jnp.isfinite(assigned)
+        assigned_i = jnp.clip(assigned, 0, n_bins - 1).astype(jnp.int32)
+
+        # peak phase advances by its instantaneous frequency
+        omega = 2.0 * np.pi * (k + frac) * hop / n_fft                   # per bin
+        peak_phase = phase_acc + omega                                   # valid at peaks
+        ph_peak = jnp.take(peak_phase, assigned_i)
+        # Hann sidelobes alternate sign bin-to-bin around the peak
+        phase = jnp.where(has_peak,
+                          ph_peak + np.pi * jnp.round(jnp.abs(k - assigned)),
+                          0.0)
+        new_acc = jnp.where(has_peak, phase, phase_acc)
+        return new_acc, phase
+
+    _, phases = jax.lax.scan(frame_step, jnp.zeros(n_bins), S_mag)
+    re = S_mag * jnp.cos(phases)
+    im = S_mag * jnp.sin(phases)
+    length = hop * (n_frames - 1)
+    return istft(re, im, n_fft, hop, win_length, length=length)
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "n_iters"))

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...config import encoder_audio_config, sv2tts_audio_config
-from ...dsp import load_wav, melspectrogram
+from ...dsp import load_wav, melspectrogram_bucketed
 from ...dsp.logmmse import denoise, profile_noise
 from ...text.pinyin import chinese_to_pinyin
 
@@ -118,7 +118,8 @@ def process_utterance(wav: np.ndarray, text: str, out_dir: Path, basename: str,
         return wav_fpath.name, mel_fpath.name, f"embed-{basename}.npy", len(wav), mel_frames, text
     if len(wav) < audio_cfg.utterance_min_duration * audio_cfg.sample_rate:
         return None
-    mel = np.asarray(melspectrogram(jnp.asarray(wav), audio_cfg), np.float32)  # (T, M)
+    # bucketed: one compile per ~1 s length bucket, exact melspectrogram output
+    mel = melspectrogram_bucketed(wav, audio_cfg)  # (T, M)
     mel_frames = mel.shape[0]
     if mel_frames > audio_cfg.max_mel_frames and audio_cfg.clip_mels_length:
         return None

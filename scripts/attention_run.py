@@ -120,6 +120,7 @@ def main():
     if not args.skip_data:
         print("== generating toy-language corpus ==", flush=True)
         corpus = make_corpus(out / "corpus", n_utts=args.n_utts)
+        print("== preprocessing ==", flush=True)
         from mockingbird_tpu.config import sv2tts_audio_config
         from mockingbird_tpu.models.tacotron.preprocess import (
             create_embeddings, preprocess_dataset)
