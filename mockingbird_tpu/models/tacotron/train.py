@@ -209,7 +209,9 @@ def _save_eval_artifacts(eval_dir: Path, step: int, batch, attn, post=None,
         # raw attention + text length, for alignment-quality analysis
         # (scripts/attention_run.py diagonality metric)
         t_len = int((np.asarray(batch["texts"])[0] != 0).sum())
-        np.savez(eval_dir / f"attention_{step:06d}.npz", attn=a0, text_len=t_len)
+        m_len = int(np.asarray(batch.get("mel_lengths", [a0.shape[0]]))[0])
+        np.savez(eval_dir / f"attention_{step:06d}.npz", attn=a0,
+                 text_len=t_len, mel_len=m_len)
     except Exception:
         pass
     try:

@@ -241,8 +241,9 @@ def wavernn_sample_pallas(weights: Dict[str, jax.Array], mels: jax.Array,
     f, t0, mel_d = mels.shape
     aux4 = aux.shape[-1]
     # stream conditioning in the weight dtype (bf16 in production, f32 in
-    # parity tests): halves the VMEM slices; the kernel upcasts per step
-    cond_dtype = weights["I_w"].dtype
+    # parity tests): halves the VMEM slices; the kernel upcasts per step.
+    # The legacy fold-major path keeps f32 conditioning.
+    cond_dtype = weights["I_w"].dtype if time_major else jnp.float32
     if chunk == 0:
         chunk = _auto_chunk(f, mel_d + aux4, np.dtype(cond_dtype).itemsize)
     if t0 % chunk:

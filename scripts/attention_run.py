@@ -92,10 +92,11 @@ def make_corpus(root: Path, n_utts: int = 400, seed: int = 0) -> Path:
     return root
 
 
-def diagonality(attn: np.ndarray, text_len: int) -> float:
-    """Mean |attended char - ideal diagonal| in chars over decoder steps."""
-    steps = attn.shape[0]
-    path = attn[:, :text_len].argmax(axis=1)
+def diagonality(attn: np.ndarray, text_len: int, n_steps: int = 0) -> float:
+    """Mean |attended char - ideal diagonal| in chars over the REAL decoder
+    steps (padded rows attend arbitrary positions and must not count)."""
+    steps = min(n_steps, attn.shape[0]) if n_steps else attn.shape[0]
+    path = attn[:steps, :text_len].argmax(axis=1)
     ideal = np.linspace(0, text_len - 1, steps)
     return float(np.mean(np.abs(path - ideal)))
 
@@ -155,7 +156,9 @@ def main():
     for f in sorted(eval_dir.glob("attention_*.npz")):
         z = np.load(f)
         step = int(f.stem.split("_")[1])
-        d = diagonality(z["attn"], int(z["text_len"]))
+        # schedule uses r=2: decoder emits 2 mel frames per attention step
+        n_steps = (int(z["mel_len"]) + 1) // 2 if "mel_len" in z else 0
+        d = diagonality(z["attn"], int(z["text_len"]), n_steps)
         rows.append((step, d))
         print(f"step {step:6d}: diagonality err {d:6.2f} chars")
     if rows:
