@@ -76,6 +76,24 @@ def main():
             (params, stats), opt, sb, jax.random.PRNGKey(7))
         losses.append(float(loss))
 
+    # the per-rank-local feeding path (BucketBatcher-style): each process
+    # contributes only its own rows via assemble_local_batch; the resulting
+    # global batch — and therefore the loss — must match shard_batch exactly
+    n_proc = jax.process_count()
+    rows = b // n_proc
+    pid = jax.process_index()
+    local = {k: v[pid * rows:(pid + 1) * rows] for k, v in batch.items()}
+    ab = multihost.assemble_local_batch(mesh, local)
+    # step_fn donates its inputs; copy state before each comparison run
+    import jax.numpy as _jnp
+    copy = lambda t: jax.tree.map(_jnp.copy, t)
+    p1, s1, o1 = copy(params), copy(stats), copy(opt)
+    (_, _), _, loss_a, *_ = step_fn((p1, s1), o1, ab, jax.random.PRNGKey(9))
+    p2, s2, o2 = copy(params), copy(stats), copy(opt)
+    sb = shard_batch(mesh, batch)
+    (_, _), _, loss_g, *_ = step_fn((p2, s2), o2, sb, jax.random.PRNGKey(9))
+    assert abs(float(loss_a) - float(loss_g)) < 1e-6, (float(loss_a), float(loss_g))
+
     if jax.process_index() == 0:
         print("LOSSES " + json.dumps(losses), flush=True)
 
