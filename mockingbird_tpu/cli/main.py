@@ -287,16 +287,27 @@ def cmd_train_encoder(args):
           total_steps=args.total_steps, precision=args.precision)
 
 
+def _hp_cfg(args, base_cfg):
+    """Apply the global --hparams override string (reference
+    `utils/hparams.py:63-89` semantics) onto a model config."""
+    if getattr(args, "hparams", ""):
+        base_cfg.parse(args.hparams)
+    return base_cfg
+
+
 def cmd_train_synth(args):
+    from ..models.tacotron.model import tacotron_config
     from ..models.tacotron.train import train
     train(args.run_id, args.syn_dir, args.models_dir, total_steps=args.total_steps,
-          precision=args.precision)
+          precision=args.precision, cfg=_hp_cfg(args, tacotron_config()))
 
 
 def cmd_train_vits(args):
+    from ..models.vits.model import vits_config
     from ..models.vits.train import train
     train(args.run_id, args.syn_dir, args.models_dir, batch_size=args.batch_size,
-          total_steps=args.total_steps, precision=args.precision)
+          total_steps=args.total_steps, precision=args.precision,
+          cfg=_hp_cfg(args, vits_config()))
 
 
 def cmd_train_vocoder(args):
@@ -476,6 +487,12 @@ def cmd_serve(args):
 
 
 def main(argv=None):
+    import os
+    if os.environ.get("MB_PLATFORM"):
+        # force a jax backend (e.g. MB_PLATFORM=cpu for local multi-process
+        # testing); the TPU plugin can override the plain JAX_PLATFORMS env
+        import jax
+        jax.config.update("jax_platforms", os.environ["MB_PLATFORM"])
     from ..parallel.multihost import initialize_from_env
     initialize_from_env()
     parser = build_parser()
