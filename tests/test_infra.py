@@ -238,3 +238,13 @@ def test_wavernn_pallas_kernel_parity():
     lab_pal = np.asarray(wavernn_sample_pallas(
         w, mels_up, aux, 0, 512, greedy=True, interpret=True, chunk=64))[0]
     np.testing.assert_array_equal(lab_pal[:T], lab_scan[:T])
+
+
+def test_cli_launch_requires_command():
+    """`mb launch` with no passthrough command must fail fast with a clear
+    message instead of spawning empty workers."""
+    import pytest
+    from mockingbird_tpu.cli.main import main
+    with pytest.raises(SystemExit) as e:
+        main(["launch", "--nprocs", "2"])
+    assert "launch" in str(e.value)
