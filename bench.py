@@ -56,12 +56,13 @@ def main():
     trained = Path(ckpt).exists()
     pipe = VoiceCloningPipeline(verbose=False,
                                 synthesizer_fpath=ckpt if trained else None)
-    texts = ["ni3 hao3 shi4 jie4 zhe4 shi4 yi2 ge4 ce4 shi4 ju4 zi3"] * 64
+    batch = int(os.environ.get("MB_BENCH_BATCH", "128"))
+    texts = ["ni3 hao3 shi4 jie4 zhe4 shi4 yi2 ge4 ce4 shi4 ju4 zi3"] * batch
     steps = 400  # fixed AR workload; min_stop_token=11 disables early stop
 
     def run():
         return pipe.tts_batch(texts, ref, steps=steps, min_stop_token=11,
-                              batch_size=64, source_sr=sr)
+                              batch_size=batch, source_sr=sr)
 
     wavs = run()  # warm-up (compiles embed + AR decode + vocoder programs)
 
