@@ -76,7 +76,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("run_id")
     sp.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
     sp.add_argument("--total_steps", type=int, default=None)
-    sp.add_argument("--precision", choices=("fp32", "bf16"), default="fp32",
+    sp.add_argument("--precision", choices=("fp32", "bf16"), default="bf16",
                     help="bf16 = mixed-precision compute (fp32 master params)")
     sp.set_defaults(func=cmd_train_encoder)
 
@@ -85,7 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("run_id")
     sp.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
     sp.add_argument("--total_steps", type=int, default=None)
-    sp.add_argument("--precision", choices=("fp32", "bf16"), default="fp32",
+    sp.add_argument("--precision", choices=("fp32", "bf16"), default="bf16",
                     help="bf16 = mixed-precision compute (fp32 master params)")
     sp.set_defaults(func=cmd_train_synth)
 
@@ -95,7 +95,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
     sp.add_argument("--batch_size", type=int, default=16)
     sp.add_argument("--total_steps", type=int, default=None)
-    sp.add_argument("--precision", choices=("fp32", "bf16"), default="fp32",
+    sp.add_argument("--precision", choices=("fp32", "bf16"), default="bf16",
                     help="bf16 = mixed-precision compute (fp32 master params)")
     sp.set_defaults(func=cmd_train_vits)
 
@@ -107,7 +107,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ground_truth", action="store_true",
                     help="train on GT mels instead of GTA")
     sp.add_argument("--total_steps", type=int, default=None)
-    sp.add_argument("--precision", choices=("fp32", "bf16"), default="fp32",
+    sp.add_argument("--precision", choices=("fp32", "bf16"), default="bf16",
                     help="bf16 = mixed-precision compute (fp32 master params)")
     sp.set_defaults(func=cmd_train_vocoder)
 
@@ -127,7 +127,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("run_id")
     sp.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
     sp.add_argument("--total_steps", type=int, default=None)
-    sp.add_argument("--precision", choices=("fp32", "bf16"), default="fp32",
+    sp.add_argument("--precision", choices=("fp32", "bf16"), default="bf16",
                     help="bf16 = mixed-precision compute (fp32 master params)")
     sp.set_defaults(func=cmd_train_vc)
 

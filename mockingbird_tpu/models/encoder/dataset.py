@@ -19,14 +19,15 @@ class RandomCycler:
     """Constrained-random order: over any window of n*len(source) consecutive
     samples, each item appears exactly n times (`random_cycler.py`)."""
 
-    def __init__(self, source):
+    def __init__(self, source, rng=None):
         if len(source) == 0:
             raise Exception("Can't create RandomCycler from an empty collection")
         self.all_items = list(source)
         self.next_items: list = []
+        self.rng = rng if rng is not None else random
 
     def sample(self, count: int) -> list:
-        shuffle = lambda l: random.sample(l, len(l))
+        shuffle = lambda l: self.rng.sample(l, len(l))
         out = []
         while count > 0:
             if count >= len(self.all_items):
@@ -52,14 +53,15 @@ class Utterance:
     def get_frames(self) -> np.ndarray:
         return np.load(self.frames_fpath)
 
-    def random_partial(self, n_frames: int) -> tuple[np.ndarray, tuple[int, int]]:
+    def random_partial(self, n_frames: int, np_rng=None) -> tuple[np.ndarray, tuple[int, int]]:
         """Crop (or zero-pad) a random n_frames window (`utterance.py:12-26`,
         extended with padding so short clips never crash the sampler)."""
         frames = self.get_frames()
         if frames.shape[0] < n_frames:
             pad = np.zeros((n_frames - frames.shape[0], frames.shape[1]), frames.dtype)
             frames = np.concatenate([frames, pad], axis=0)
-        start = 0 if frames.shape[0] == n_frames else np.random.randint(0, frames.shape[0] - n_frames)
+        r = np_rng if np_rng is not None else np.random
+        start = 0 if frames.shape[0] == n_frames else r.randint(0, frames.shape[0] - n_frames)
         return frames[start : start + n_frames], (start, start + n_frames)
 
 
@@ -81,11 +83,13 @@ class Speaker:
         self.utterances = [Utterance(p) for p in paths]
         self.utterance_cycler = RandomCycler(self.utterances)
 
-    def random_partial(self, count: int, n_frames: int):
+    def random_partial(self, count: int, n_frames: int, rng=None, np_rng=None):
         if self.utterances is None:
             self._load_utterances()
+        if rng is not None:
+            self.utterance_cycler.rng = rng
         utterances = self.utterance_cycler.sample(count)
-        return [(u,) + u.random_partial(n_frames) for u in utterances]
+        return [(u,) + u.random_partial(n_frames, np_rng) for u in utterances]
 
 
 class SpeakerVerificationDataset:
@@ -108,14 +112,23 @@ class SpeakerVerificationDataset:
 
 
 class SpeakerBatchSampler:
-    """Yields (S, U, n_frames, 40) float32 arrays forever."""
+    """Yields (S, U, n_frames, 40) float32 arrays forever.
+
+    ``seed`` makes the infinite stream deterministic — required under
+    multi-process SPMD, where every process must assemble the *same* global
+    batch before `shard_global_batch` carves out its row slice."""
 
     def __init__(self, dataset: SpeakerVerificationDataset,
-                 speakers_per_batch: int, utterances_per_speaker: int, n_frames: int):
+                 speakers_per_batch: int, utterances_per_speaker: int, n_frames: int,
+                 seed: Optional[int] = None):
         self.dataset = dataset
         self.s = speakers_per_batch
         self.u = utterances_per_speaker
         self.n_frames = n_frames
+        self.rng = random.Random(seed) if seed is not None else None
+        self.np_rng = np.random.RandomState(seed) if seed is not None else None
+        if self.rng is not None:
+            dataset.speaker_cycler.rng = self.rng
 
     def __iter__(self) -> Iterator[np.ndarray]:
         while True:
@@ -125,7 +138,7 @@ class SpeakerBatchSampler:
         speakers = self.dataset.speaker_cycler.sample(self.s)
         batch = np.zeros((self.s, self.u, self.n_frames, 40), dtype=np.float32)
         for i, spk in enumerate(speakers):
-            partials = spk.random_partial(self.u, self.n_frames)
+            partials = spk.random_partial(self.u, self.n_frames, self.rng, self.np_rng)
             for j, (_, frames, _) in enumerate(partials):
                 batch[i, j] = frames
         return batch

@@ -71,14 +71,16 @@ def train(run_id: str, clean_data_root: Path, models_dir: Path,
           learning_rate: float = LEARNING_RATE_INIT,
           force_restart: bool = False, log_every: int = 10,
           vis_every: int = 100, use_mesh: bool = True,
-          precision: str = "fp32"):
+          precision: str = "bf16", seed: int = 0):
     multihost.initialize_from_env()
     dataset = SpeakerVerificationDataset(Path(clean_data_root))
+    # seeded: under multi-process SPMD every process must build the same
+    # global batch (shard_global_batch slices per-process rows from it)
     sampler = SpeakerBatchSampler(dataset, speakers_per_batch, utterances_per_speaker,
-                                  PARTIALS_N_FRAMES)
+                                  PARTIALS_N_FRAMES, seed=seed)
 
     model = SpeakerEncoder()
-    params = init_params(jax.random.PRNGKey(0))
+    params = init_params(jax.random.PRNGKey(seed))
     tx = optax.chain(optax.clip_by_global_norm(3.0), optax.adam(learning_rate))
     opt_state = tx.init(params)
 
@@ -94,6 +96,8 @@ def train(run_id: str, clean_data_root: Path, models_dir: Path,
             print(f"Resumed encoder run {run_id} at step {step0}")
 
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    if mesh is not None and jax.process_count() > 1:
+        params, opt_state = multihost.make_global(mesh, (params, opt_state))
     train_step = make_train_step(model, tx, speakers_per_batch, utterances_per_speaker,
                                  precision)
 

@@ -147,7 +147,7 @@ def train(run_id: str, vc_dir: Path, models_dir: Path, cfg=None,
           batch_size: int = 8, learning_rate: float = 5e-4,
           total_steps: Optional[int] = None, save_every: int = 2000,
           log_every: int = 10, val_every: int = 500, seed: int = 0,
-          use_mesh: bool = True, precision: str = "fp32"):
+          use_mesh: bool = True, precision: str = "bf16"):
     multihost.initialize_from_env()
     cfg = Config(ppg2mel_config()).merge(cfg or {})
     model, variables = init_ppg2mel(jax.random.PRNGKey(seed), cfg)
@@ -174,6 +174,9 @@ def train(run_id: str, vc_dir: Path, models_dir: Path, cfg=None,
     loader = DataLoader(dataset, batch_size,
                         lambda b: collate_vc(b, cfg.frames_per_step, down), seed=seed)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    if mesh is not None and jax.process_count() > 1:
+        params, batch_stats, opt_state = multihost.make_global(
+            mesh, (params, batch_stats, opt_state))
     step_fn = make_vc_step(model, tx, precision)
 
     # dev-split validation with best-loss checkpoint + attention plot

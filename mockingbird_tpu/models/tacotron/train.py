@@ -103,7 +103,7 @@ def train(run_id: str, syn_dir: Path, models_dir: Path,
           eval_every: int = 500, force_restart: bool = False,
           total_steps: Optional[int] = None, use_mesh: bool = True,
           cfg=None, audio_cfg=None, seed: int = 0, finetune_layers=(),
-          precision: str = "fp32"):
+          precision: str = "bf16"):
     multihost.initialize_from_env()
     syn_dir = Path(syn_dir)
     cfg = cfg or tacotron_config()

@@ -291,7 +291,7 @@ def make_vits_step(model: Vits, disc: VitsDiscriminator, tx_g, tx_d, cfg,
 def train(run_id: str, syn_dir: Path, models_dir: Path, cfg=None,
           batch_size: int = 16, total_steps: Optional[int] = None,
           save_every: int = 2000, log_every: int = 10, eval_every: int = 1000,
-          seed: int = 1234, use_mesh: bool = True, precision: str = "fp32"):
+          seed: int = 1234, use_mesh: bool = True, precision: str = "bf16"):
     multihost.initialize_from_env()
     cfg = Config(vits_config()).merge(cfg or {})
     dataset = VitsDataset(syn_dir, cfg)

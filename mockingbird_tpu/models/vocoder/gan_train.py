@@ -123,7 +123,7 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, arch: str = "hifigan",
           fine_tuning: bool = False, total_steps: Optional[int] = None,
           save_every: int = 5000, log_every: int = 10, val_every: int = 1000,
           cfg=None, seed: int = 1234, use_mesh: bool = True,
-          precision: str = "fp32"):
+          precision: str = "bf16"):
     multihost.initialize_from_env()
     gen_cls, disc_cls, cfg_fn = ARCHS[arch]
     cfg = Config(cfg_fn()).merge(cfg or {})

@@ -236,19 +236,38 @@ class WaveRnnVocoder:
                 jax.random.PRNGKey(seed),
                 jnp.zeros((1, 2 * self.cfg.hop_size)),
                 jnp.zeros((1, 2 + 2 * self.cfg.pad, self.cfg.feat_dims)))
+        self.variables = variables
+        self._fn_cache: dict = {}   # per-instance: jitted programs close over
+        self._packed_w = None       # self.variables; load() must clear both
         if model_fpath is not None and Path(model_fpath).exists():
-            loaded = load_single(model_fpath)
-            variables = {"params": jax.tree.map(jnp.asarray, loaded["params"]),
-                         "batch_stats": jax.tree.map(jnp.asarray, loaded["batch_stats"])}
-            if verbose:
-                print(f"Loaded WaveRNN from {model_fpath}")
+            self.load(model_fpath, verbose=verbose)
         elif verbose:
             print("WaveRNN: fresh (untrained) weights")
-        self.variables = variables
 
-    @functools.lru_cache(maxsize=8)
+    def load(self, model_fpath: Union[str, Path], verbose: bool = True):
+        """(Re)load weights, invalidating every cached compiled program —
+        the jitted sampling closures capture ``self.variables``, so hot-swap
+        without invalidation would silently keep sampling with stale weights."""
+        loaded = load_single(model_fpath)
+        self.variables = {
+            "params": jax.tree.map(jnp.asarray, loaded["params"]),
+            "batch_stats": jax.tree.map(jnp.asarray, loaded["batch_stats"])}
+        self._fn_cache.clear()
+        self._packed_w = None
+        if verbose:
+            print(f"Loaded WaveRNN from {model_fpath}")
+
     def _fused_pallas_fn(self, t_up: int, target: int, overlap: int,
-                         greedy: bool = False):
+                         greedy: bool = False, interpret: bool = False):
+        key = ("fused", t_up, target, overlap, greedy, interpret)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        out = self._build_fused_pallas_fn(t_up, target, overlap, greedy, interpret)
+        self._fn_cache[key] = out
+        return out
+
+    def _build_fused_pallas_fn(self, t_up: int, target: int, overlap: int,
+                               greedy: bool = False, interpret: bool = False):
         """One jitted program: upsample → fold (device gather) → Pallas
         sampling kernel. Nothing but the sampled labels ever crosses the
         device→host link — the r1 path fetched the full upsampled
@@ -278,18 +297,27 @@ class WaveRnnVocoder:
             mels_f = mels_up[0, idx]                         # (F, width, M)
             aux_f = aux[0, idx]
             return wavernn_sample_pallas(packed, mels_f, aux_f, seed,
-                                         n_classes, greedy=greedy)
+                                         n_classes, greedy=greedy,
+                                         interpret=interpret,
+                                         chunk=64 if interpret else 0)
 
         return run, num_folds
 
     def _packed_weights(self):
-        if not hasattr(self, "_packed_w"):
+        if self._packed_w is None:
             from ...ops.wavernn_sample import pack_wavernn_weights
             self._packed_w = pack_wavernn_weights(self.variables["params"])
         return self._packed_w
 
-    @functools.lru_cache(maxsize=4)
     def _gen_fn(self, num_folds: int, seq_len: int, greedy: bool = False):
+        key = ("gen", num_folds, seq_len, greedy)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        out = self._build_gen_fn(num_folds, seq_len, greedy)
+        self._fn_cache[key] = out
+        return out
+
+    def _build_gen_fn(self, num_folds: int, seq_len: int, greedy: bool = False):
         model, variables, cfg = self.model, self.variables, self.cfg
         mode = cfg.mode
         n_classes = 2 ** cfg.bits if mode == "RAW" else 30
@@ -331,7 +359,8 @@ class WaveRnnVocoder:
                        batched: Optional[bool] = None,
                        target: Optional[int] = None, overlap: Optional[int] = None,
                        seed: int = 0, use_pallas: Optional[bool] = None,
-                       greedy: bool = False) -> np.ndarray:
+                       greedy: bool = False, interpret: bool = False,
+                       fuse: bool = True) -> np.ndarray:
         cfg = self.cfg
         batched = cfg.gen_batched if batched is None else batched
         if use_pallas is None:
@@ -356,7 +385,7 @@ class WaveRnnVocoder:
 
         mel_p = np.pad(mel, ((cfg.pad, cfg.pad), (0, 0)))[None]  # (1, T+2p, M)
 
-        if use_pallas and cfg.mode == "RAW" and batched:
+        if use_pallas and cfg.mode == "RAW" and batched and fuse:
             # fused on-device path: upsample → fold → VMEM sampling kernel in
             # one jitted program; only the (F, width) int32 labels come back.
             # Mel length is bucketed (edge-padded to a 100-frame multiple;
@@ -370,7 +399,8 @@ class WaveRnnVocoder:
                      if t_bucket != t0_frames else mel)
             mel_bp = np.pad(mel_b, ((cfg.pad, cfg.pad), (0, 0)))[None]
             t_up = t_bucket * cfg.hop_size
-            run, num_folds = self._fused_pallas_fn(t_up, target, overlap, greedy)
+            run, num_folds = self._fused_pallas_fn(t_up, target, overlap, greedy,
+                                                   interpret)
             labels = run(jnp.asarray(mel_bp), seed)
             samples = (2.0 * np.asarray(labels, np.float64)
                        / (2 ** cfg.bits - 1.0) - 1.0)
@@ -390,7 +420,8 @@ class WaveRnnVocoder:
                 from ...ops.wavernn_sample import wavernn_sample_pallas
                 labels = wavernn_sample_pallas(
                     self._packed_weights(), jnp.asarray(mels_f),
-                    jnp.asarray(aux_f), seed, 2 ** cfg.bits, greedy=greedy)
+                    jnp.asarray(aux_f), seed, 2 ** cfg.bits, greedy=greedy,
+                    interpret=interpret, chunk=64 if interpret else 0)
                 samples = (2.0 * np.asarray(labels, np.float64)
                            / (2 ** cfg.bits - 1.0) - 1.0)
             else:

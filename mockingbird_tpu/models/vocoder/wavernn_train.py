@@ -160,7 +160,7 @@ def gen_testset(variables, dataset: WaveRnnDataset, save_path: Path, cfg,
 def train(run_id: str, syn_dir: Path, models_dir: Path, ground_truth: bool = False,
           total_steps: Optional[int] = None, save_every: int = 1000,
           log_every: int = 10, cfg=None, seed: int = 0, use_mesh: bool = True,
-          gen_samples: int = 2, precision: str = "fp32"):
+          gen_samples: int = 2, precision: str = "bf16"):
     multihost.initialize_from_env()
     syn_dir = Path(syn_dir)
     cfg = Config(wavernn_config()).merge(cfg or {})
@@ -192,6 +192,9 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, ground_truth: bool = Fal
     loader = DataLoader(dataset, cfg.batch_size,
                         lambda b: collate_wavernn(b, cfg, rng), seed=seed)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    if mesh is not None and jax.process_count() > 1:
+        params, batch_stats, opt_state = multihost.make_global(
+            mesh, (params, batch_stats, opt_state))
     step_fn = make_wavernn_step(model, tx, cfg.mode, precision)
 
     t0, acc = time.time(), []

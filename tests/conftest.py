@@ -20,6 +20,18 @@ import numpy as np
 import pytest
 
 
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """A bare `pytest` runs the FAST tier only (addopts `-m 'not slow'`):
+    say so loudly, so a green run is never mistaken for the full
+    correctness suite (torch-equivalence, e2e, multi-process live in
+    `-m slow`). The gating command is: pytest -m 'slow or not slow'."""
+    if config.getoption("-m") == "not slow":
+        terminalreporter.write_sep(
+            "=", "FAST TIER ONLY: slow tests (torch-equivalence, e2e, "
+            "multi-process) were deselected. Full suite: "
+            "pytest -m 'slow or not slow'", yellow=True)
+
+
 @pytest.fixture(scope="session")
 def sample_wav():
     """The bundled reference utterance (16 kHz mono), or a synthetic harmonic

@@ -14,8 +14,9 @@ from mockingbird_tpu.config import Config, sv2tts_audio_config
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
-    """A fake aidatatang-style corpus: 2 speakers × 3 utterances of
-    harmonic 'speech' + a transcript file."""
+    """A fake aidatatang-style corpus: 2 speakers × 4 utterances of
+    harmonic 'speech' + a transcript file (8 total: divisible over the
+    8-device virtual mesh for the use_mesh=True trainer run)."""
     root = tmp_path_factory.mktemp("corpus")
     ds = root / "aidatatang_200zh"
     trans_dir = ds / "transcript"
@@ -28,7 +29,7 @@ def corpus(tmp_path_factory):
         spk_dir = ds / "corpus" / "train" / spk
         spk_dir.mkdir(parents=True)
         f_base = 150 if spk == "G0001" else 250
-        for i in range(3):
+        for i in range(4):
             utt = f"T0055{spk}S{i:04d}"
             t = np.arange(int(sr * 1.2)) / sr
             f0 = f_base * (1 + 0.05 * np.sin(2 * np.pi * 3 * t + i))
@@ -50,15 +51,15 @@ def syn_dir(corpus, tmp_path_factory):
     preprocess_dataset(corpus, out, n_processes=2, dataset="aidatatang_200zh",
                        audio_cfg=audio_cfg)
     train_txt = (out / "train.txt").read_text().strip().splitlines()
-    assert len(train_txt) == 6, train_txt
+    assert len(train_txt) == 8, train_txt
     create_embeddings(out, None, n_processes=2)
-    assert len(list((out / "embeds").glob("*.npy"))) == 6
+    assert len(list((out / "embeds").glob("*.npy"))) == 8
     return out
 
 
 def test_preprocess_outputs(syn_dir):
     mels = sorted((syn_dir / "mels").glob("*.npy"))
-    assert len(mels) == 6
+    assert len(mels) == 8
     m = np.load(mels[0])
     assert m.shape[0] == 80  # stored (M, T) like the reference
     assert -4.01 <= m.min() and m.max() <= 4.01
@@ -74,8 +75,10 @@ def test_tacotron_train_and_gta(syn_dir, tmp_path):
         embed_dims=32, encoder_dims=16, decoder_dims=16, postnet_dims=32,
         lstm_dims=32, gst_E=16, gst_num_heads=4, gst_ref_filters=(4, 4)))
     schedule = ((2, 1e-3, 4, 2),)
+    # use_mesh=True: this trainer runs its real sharded SPMD step over the
+    # 8-device virtual mesh (batch auto-rounds up to the data-axis size)
     train("e2e_run", syn_dir, tmp_path, schedule=schedule, save_every=0,
-          eval_every=3, total_steps=3, use_mesh=False, cfg=cfg)
+          eval_every=3, total_steps=3, use_mesh=True, cfg=cfg)
     # eval artifacts at step 3 (`train.py:240-277, 286-316` parity)
     eval_dir = tmp_path / "e2e_run" / "eval"
     assert (eval_dir / "attention_000003.png").exists()
@@ -85,7 +88,7 @@ def test_tacotron_train_and_gta(syn_dir, tmp_path):
     # resume from checkpoint + GTA
     run_gta_synthesis("e2e_run", syn_dir, tmp_path, r=2, batch_size=2, cfg=cfg)
     gta = sorted((syn_dir / "mels_gta").glob("*.npy"))
-    assert len(gta) == 6
+    assert len(gta) == 8
     ref_mel = np.load(sorted((syn_dir / "mels").glob("*.npy"))[0])
     gta_mel = np.load(gta[0])
     assert gta_mel.shape[0] == 80
@@ -195,7 +198,7 @@ def test_vocoder_dataset_from_gta(syn_dir):
     cfg = Config(wavernn_config()).merge(dict(seq_len=256 * 2))
     ds = WaveRnnDataset(syn_dir / "train.txt", syn_dir / "mels_gta",
                         syn_dir / "audio", cfg)
-    assert len(ds) == 6
+    assert len(ds) == 8
     batch = collate_wavernn([ds[0], ds[1]], cfg)
     assert batch["x"].shape == (2, 512)
     assert batch["mels"].shape[2] == 80

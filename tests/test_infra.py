@@ -240,6 +240,68 @@ def test_wavernn_pallas_kernel_parity():
     np.testing.assert_array_equal(lab_pal[:T], lab_scan[:T])
 
 
+@pytest.mark.slow
+def test_wavernn_fused_vs_unfused_parity():
+    """The fused on-device path (bucketed mel → upsample → device fold →
+    kernel) must produce the same waveform as the host-fold path everywhere
+    except the trimmed tail, where the 100-frame edge-padding legitimately
+    changes conditioning inside the upsampler's receptive field."""
+    from mockingbird_tpu.config import Config
+    from mockingbird_tpu.models.vocoder.wavernn import WaveRnnVocoder, wavernn_config
+
+    cfg = Config(wavernn_config()).merge(dict(
+        rnn_dims=32, fc_dims=32, compute_dims=16, res_out_dims=16, res_blocks=2,
+        upsample_factors=[4, 4], hop_size=16, seq_len=16 * 4, pad=2))
+    voc = WaveRnnVocoder(cfg=cfg, verbose=False)
+    mel = np.random.RandomState(0).randn(80, 130).astype(np.float32)
+    target, overlap = 600, 100
+
+    wav_fused = voc.infer_waveform(mel, batched=True, target=target,
+                                   overlap=overlap, greedy=True,
+                                   use_pallas=True, interpret=True)
+    # same kernel + same packed weights, but host-side fold of the unbucketed
+    # mel — isolates the bucketing/device-fold difference from numerics
+    wav_unfused = voc.infer_waveform(mel, batched=True, target=target,
+                                     overlap=overlap, greedy=True,
+                                     use_pallas=True, interpret=True,
+                                     fuse=False)
+    assert wav_fused.shape == wav_unfused.shape
+    # folds are independent (zero GRU state per fold); every fold that lies
+    # entirely inside the real-conditioning region matches exactly. Only the
+    # final unfused fold (and the edge-padded frames) may differ.
+    t_up = mel.shape[1] * cfg.hop_size
+    n_unfused = max((t_up - overlap) // (target + overlap), 0)
+    cut = n_unfused * (target + overlap) - overlap  # last shared fold boundary
+    np.testing.assert_allclose(wav_fused[:cut], wav_unfused[:cut], atol=1e-5)
+
+
+def test_wavernn_load_invalidates_caches(tmp_path):
+    """Hot-swapping weights must not keep sampling with stale compiled
+    programs (the jitted closures capture self.variables)."""
+    from mockingbird_tpu.config import Config
+    from mockingbird_tpu.models.vocoder.wavernn import WaveRnnVocoder, wavernn_config
+    from mockingbird_tpu.train.checkpoint import save_single
+
+    cfg = Config(wavernn_config()).merge(dict(
+        rnn_dims=32, fc_dims=32, compute_dims=16, res_out_dims=16, res_blocks=2,
+        upsample_factors=[4, 4], hop_size=16, seq_len=16 * 4, pad=2))
+    voc_a = WaveRnnVocoder(cfg=cfg, verbose=False, seed=0)
+    voc_b = WaveRnnVocoder(cfg=cfg, verbose=False, seed=123)
+
+    mel = np.random.RandomState(0).randn(80, 24).astype(np.float32)
+    wav_a = voc_a.infer_waveform(mel, batched=False, greedy=True, use_pallas=False)
+    wav_b = voc_b.infer_waveform(mel, batched=False, greedy=True, use_pallas=False)
+    assert not np.allclose(wav_a, wav_b)
+
+    fpath = tmp_path / "wavernn.ckpt"
+    save_single(fpath, {"params": voc_b.variables["params"],
+                        "batch_stats": voc_b.variables["batch_stats"]})
+    voc_a.load(fpath, verbose=False)
+    assert voc_a._packed_w is None and not voc_a._fn_cache
+    wav_a2 = voc_a.infer_waveform(mel, batched=False, greedy=True, use_pallas=False)
+    np.testing.assert_allclose(wav_a2, wav_b, atol=1e-6)
+
+
 def test_cli_launch_requires_command():
     """`mb launch` with no passthrough command must fail fast with a clear
     message instead of spawning empty workers."""
