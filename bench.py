@@ -1,22 +1,35 @@
-"""End-to-end TTS benchmark: audio-seconds synthesized per second per chip.
+"""End-to-end benchmarks: audio-seconds synthesized per second per chip.
 
-Pipeline measured (the reference's core product path, SURVEY.md §3.1):
+Primary metric (the reference's core product path, SURVEY.md §3.1):
 reference wav → GE2E speaker embedding → Tacotron AR mel synthesis (fixed
 400-frame workload, stop disabled for determinism) → HiFi-GAN vocoding →
-int16 PCM on the host. Uses the fused on-device path (`pipeline.tts_batch`):
-mels never leave the chip; the device→host link only carries quantised PCM.
-Audio seconds are counted from the samples actually returned.
+int16 PCM on the host, via the fused on-device path (`pipeline.tts_batch`
+internals): mels never leave the chip; the device→host link only carries
+quantised PCM.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is the ratio against the 50× RTF/chip target in BASELINE.json.
+Trustworthy + attributable (VERDICT r2 Next #1): every stage is fenced
+separately (AR decode / vocode / D2H fetch — fences are scalar fetches, not
+`block_until_ready`, which the axon tunnel backend does not honour), ≥10
+measured iterations, and the JSON carries median + min + max + all raw
+times. The quoted value is the MEDIAN, not best-of-N.
 
-Quality gate: when a trained synthesizer export exists (env MB_BENCH_CKPT or
-`saved_models/attention_run/synthesizer.ckpt`, produced by
-scripts/attention_run.py) the pipeline runs with TRAINED weights and the
-output audio must pass sanity checks (non-silence + spectral centroid in the
-speech band) — tying the RTF number to a pipeline that demonstrably works
-(`/root/reference/run.py:85-94` prints RTF on real checkpoints the same way).
-With fresh weights the gate reports "untrained" instead of asserting.
+Extra product paths (VERDICT r2 Next #3), same JSON line under "extra":
+- VITS text→waveform RTF (`models/vits/inference.py`)
+- PPG voice conversion RTF — the metric the reference itself prints
+  (`/root/reference/run.py:85-94`)
+- e2e TTS with WaveRNN as the vocoder (the fused Pallas sampling kernel
+  measured inside the full pipeline, not in isolation)
+
+Prints ONE JSON line. Quality gate: when a trained synthesizer export
+exists (env MB_BENCH_CKPT or `saved_models/attention_run/synthesizer.ckpt`,
+produced by scripts/attention_run.py) the pipeline runs with TRAINED
+weights and the output audio must pass sanity checks (non-silence +
+spectral centroid in the speech band). With fresh weights the gate reports
+"untrained" instead of asserting.
+
+Env knobs: MB_BENCH_BATCH (128), MB_BENCH_REPS (10), MB_BENCH_PATHS
+("all" | "tts"), MB_BENCH_BUDGET_S (2700: skip remaining extra paths once
+exceeded — first compiles of the extras can take minutes each).
 """
 import json
 import os
@@ -26,8 +39,11 @@ from pathlib import Path
 
 import numpy as np
 
+SR = 16000
+TEXT = "ni3 hao3 shi4 jie4 zhe4 shi4 yi2 ge4 ce4 shi4 ju4 zi3"
 
-def audio_sanity(wavs, sr=16000):
+
+def audio_sanity(wavs, sr=SR):
     """(rms, spectral centroid Hz) over the first few outputs (int16 PCM)."""
     cat = np.concatenate([np.asarray(w, np.float64) for w in wavs[:4]])
     rms = float(np.sqrt(np.mean(cat**2)))
@@ -37,64 +53,297 @@ def audio_sanity(wavs, sr=16000):
     return rms, centroid
 
 
-def main():
-    from mockingbird_tpu import dsp
-    from mockingbird_tpu.pipeline import VoiceCloningPipeline
+def _fence(x):
+    """Force completion of the program producing device array x by fetching
+    a scalar (block_until_ready does not reliably bound device work on the
+    axon tunnel backend — see .claude/skills/verify)."""
+    return float(np.asarray(x).ravel()[0])
 
+
+def _stats(values):
+    v = sorted(values)
+    return dict(median=round(float(np.median(v)), 4),
+                min=round(v[0], 4), max=round(v[-1], 4),
+                raw=[round(x, 4) for x in values])
+
+
+def load_reference_wav():
+    from mockingbird_tpu import dsp
     sample = "/root/reference/data/samples/T0055G0013S0005.wav"
     try:
         wav, sr = dsp.load_wav(sample)
-        ref = sample  # path: the pipeline caches the speaker embedding by path
+        return wav, sr, sample
     except Exception:
-        t = np.arange(16000 * 3) / 16000
-        wav, sr = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), 16000
-        ref = wav
+        t = np.arange(SR * 3) / SR
+        wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        return wav, SR, None
 
+
+def bench_tts(reps: int, batch: int):
+    """Primary path with per-stage attribution."""
+    import jax.numpy as jnp
+    from mockingbird_tpu.pipeline import VoiceCloningPipeline
+
+    wav, sr, ref = load_reference_wav()
     ckpt = os.environ.get(
         "MB_BENCH_CKPT",
         str(Path(__file__).parent / "saved_models/attention_run/synthesizer.ckpt"))
     trained = Path(ckpt).exists()
     pipe = VoiceCloningPipeline(verbose=False,
                                 synthesizer_fpath=ckpt if trained else None)
-    batch = int(os.environ.get("MB_BENCH_BATCH", "128"))
-    texts = ["ni3 hao3 shi4 jie4 zhe4 shi4 yi2 ge4 ce4 shi4 ju4 zi3"] * batch
+    texts = [TEXT] * batch
     steps = 400  # fixed AR workload; min_stop_token=11 disables early stop
 
-    def run():
-        return pipe.tts_batch(texts, ref, steps=steps, min_stop_token=11,
-                              batch_size=batch, source_sr=sr)
+    t0 = time.time()
+    embed = pipe.embed_reference(ref if ref is not None else wav, sr)
+    embed_cold = time.time() - t0
+    t0 = time.time()
+    pipe._embed_cache.clear()
+    embed = pipe.embed_reference(ref if ref is not None else wav, sr)
+    embed_warm = time.time() - t0
+    embeds = np.tile(embed, (batch, 1))
+    hop = pipe.vocoder.cfg.hop_size
 
-    wavs = run()  # warm-up (compiles embed + AR decode + vocoder programs)
-
-    # best of 3: the device↔host tunnel has occasional multi-second stalls
-    # unrelated to the pipeline; peak throughput is the stable statistic
-    dt = float("inf")
-    for _ in range(3):
+    def staged():
+        """One fenced iteration; returns (times dict, wavs)."""
         t0 = time.time()
-        wavs = run()
-        dt = min(dt, time.time() - t0)
+        mels_dev, frame_lens = pipe.synthesizer.synthesize_mels_device(
+            texts, embeds, min_stop_token=11, steps=steps)
+        _fence(frame_lens)
+        t1 = time.time()
+        pcm_dev = pipe.vocoder.vocode_device(mels_dev, pcm16=True)
+        _fence(pcm_dev[0, :1])
+        t2 = time.time()
+        pcm = np.asarray(pcm_dev)
+        lens = np.asarray(frame_lens)
+        t3 = time.time()
+        wavs = [pcm[j, : int(lens[j]) * hop] for j in range(batch)]
+        return dict(ar_decode=t1 - t0, vocode=t2 - t1, d2h_fetch=t3 - t2,
+                    e2e=t3 - t0), wavs
 
-    out_sr = 16000
-    audio_seconds = sum(len(w) for w in wavs) / out_sr
-    rtf = audio_seconds / dt
+    chunk = int(os.environ.get("MB_BENCH_CHUNK", "32"))
 
-    rms, centroid = audio_sanity(wavs, out_sr)
+    def pipelined():
+        """The serving path (`pipeline.tts_batch` structure): dispatch every
+        chunk's programs first (JAX dispatch is async), then fetch in order —
+        chunk k+1 computes while chunk k's PCM crosses the link."""
+        t0 = time.time()
+        pending = []
+        for i in range(0, batch, chunk):
+            sub = texts[i : i + chunk]
+            mels_dev, fl = pipe.synthesizer.synthesize_mels_device(
+                sub, embeds[: len(sub)], min_stop_token=11, steps=steps)
+            pcm_dev = pipe.vocoder.vocode_device(mels_dev, pcm16=True)
+            pending.append((len(sub), pcm_dev, fl))
+        wavs = []
+        for n, pcm_dev, fl in pending:
+            pcm = np.asarray(pcm_dev)
+            lens = np.asarray(fl)
+            wavs += [pcm[j, : int(lens[j]) * hop] for j in range(n)]
+        return time.time() - t0, wavs
+
+    _, wavs = staged()      # warm-up (compiles decode + vocode programs)
+    pipelined()             # warm-up (chunk-batch programs)
+
+    stage_names = ("ar_decode", "vocode", "d2h_fetch", "e2e")
+    times = {k: [] for k in stage_names}
+    pipe_times = []
+    for _ in range(reps):
+        t, wavs = staged()
+        for k in stage_names:
+            times[k].append(t[k])
+        dt, wavs_p = pipelined()
+        pipe_times.append(dt)
+
+    audio_seconds = sum(len(w) for w in wavs) / SR
+    # headline = the staged single-batch path (decode → vocode → one fetch);
+    # measured on-chip, chunked dispatch+fetch overlap (rtf_pipelined) does
+    # NOT beat it — the tunnel does not overlap transfers with dispatch well,
+    # and per-chunk latency costs more than the hidden compute (~0.2 s)
+    rtfs = [audio_seconds / t for t in times["e2e"]]
+    pipelined_rtfs = [audio_seconds / t for t in pipe_times]
+    # what the chip itself sustains (decode+vocode, no host link): the number
+    # that matters on pods with local PCIe/DMA instead of this tunnel
+    compute_rtf = audio_seconds / (float(np.median(times["ar_decode"]))
+                                   + float(np.median(times["vocode"])))
+    rms, centroid = audio_sanity(wavs)
     if trained:
         gate = "pass" if (rms > 100 and 150 < centroid < 6000) else "fail"
     else:
         gate = "untrained"
 
-    print(json.dumps({
+    rtf_stats = _stats(rtfs)
+    return dict(
+        value=rtf_stats["median"],
+        rtf_median=rtf_stats["median"], rtf_min=rtf_stats["min"],
+        rtf_max=rtf_stats["max"], rtf_raw=rtf_stats["raw"],
+        rtf_pipelined=_stats(pipelined_rtfs),
+        compute_rtf=round(compute_rtf, 1),
+        reps=reps, batch=batch, chunk=chunk,
+        audio_seconds=round(audio_seconds, 2),
+        stages_s={k: _stats(times[k]) for k in stage_names},
+        embed_cold_s=round(embed_cold, 3), embed_warm_s=round(embed_warm, 3),
+        weights="trained" if trained else "random",
+        quality_gate=gate, audio_rms=round(rms, 1),
+        spectral_centroid_hz=round(centroid, 1),
+    )
+
+
+def bench_vits(reps: int, batch: int):
+    """VITS text→waveform RTF/chip (VERDICT r2 Next #3; reference infer is
+    `/root/reference/models/synthesizer/models/vits.py:498-527`)."""
+    from mockingbird_tpu.models.vits.inference import VitsSynthesizer
+
+    ckpt = os.environ.get(
+        "MB_BENCH_VITS_CKPT",
+        str(Path(__file__).parent / "saved_models/vits_run/synthesizer_vits.ckpt"))
+    trained = Path(ckpt).exists()
+    cfg_path = Path(ckpt).with_name("config.json")
+    cfg = None
+    if trained and cfg_path.exists():
+        from mockingbird_tpu.config import Config
+        cfg = Config.from_json(cfg_path)
+    syn = VitsSynthesizer(ckpt if trained else None, cfg=cfg, verbose=False)
+    texts = [TEXT] * batch
+
+    wavs = syn.synthesize(texts, max_frames=400, pcm16=True)  # warm-up
+    dts = []
+    for _ in range(reps):
+        t0 = time.time()
+        wavs = syn.synthesize(texts, max_frames=400, pcm16=True)
+        dts.append(time.time() - t0)
+    audio_seconds = sum(len(w) for w in wavs) / SR
+    rtfs = [audio_seconds / t for t in dts]
+    rms, centroid = audio_sanity(wavs)
+    gate = ("pass" if (rms > 100 and 150 < centroid < 6000) else "fail") \
+        if trained else "untrained"
+    s = _stats(rtfs)
+    return dict(metric="vits_e2e_rtf_per_chip", value=s["median"],
+                unit="audio_seconds/s/chip", rtf_min=s["min"], rtf_max=s["max"],
+                reps=reps, batch=batch, audio_seconds=round(audio_seconds, 2),
+                weights="trained" if trained else "random", quality_gate=gate,
+                audio_rms=round(rms, 1), spectral_centroid_hz=round(centroid, 1))
+
+
+def bench_ppg_vc(reps: int):
+    """PPG one-shot voice conversion RTF — the metric the reference prints
+    (`/root/reference/run.py:85-94`: rtf = elapsed / (0.01 * mel_len),
+    LOWER is better). Also reported as audio_s/s (higher is better)."""
+    from mockingbird_tpu.models.ppg import VoiceConverter
+
+    wav, sr, ref = load_reference_wav()
+    ckpt = os.environ.get(
+        "MB_BENCH_PPG_CKPT",
+        str(Path(__file__).parent / "saved_models/ppg_run/ppg2mel.ckpt"))
+    trained = Path(ckpt).exists()
+    vc = VoiceConverter(ckpt if trained else None, verbose=False)
+    if ref is not None:
+        vc.set_reference(ref)
+    else:
+        vc.ref_embed = vc.encoder.embed_utterance(wav)
+
+    # stop_threshold > 1 disables the stop token (sigmoid ≤ 1): with random
+    # weights it would fire after a few frames and shrink the workload to
+    # nothing; the honest workload is converting the full utterance. The
+    # warm-up run reveals the utterance's frame count; max_steps is then
+    # bucketed to it so the AR loop does ~the audio's worth of work.
+    mel, _ = vc.convert_wav(wav, stop_threshold=2.0)  # warm-up
+    max_steps = max(((mel.shape[0] + 99) // 100) * 100, 200)
+    mel, _ = vc.convert_wav(wav, max_steps=max_steps, stop_threshold=2.0)
+    ref_rtfs, rtfs = [], []
+    for _ in range(reps):
+        t0 = time.time()
+        mel, _ = vc.convert_wav(wav, max_steps=max_steps, stop_threshold=2.0)
+        dt = time.time() - t0
+        audio_s = 0.01 * mel.shape[0]  # 10 ms frames, as the reference counts
+        ref_rtfs.append(dt / max(audio_s, 1e-6))
+        rtfs.append(audio_s / dt)
+    s = _stats(rtfs)
+    return dict(metric="ppg_vc_rtf_per_chip", value=s["median"],
+                unit="audio_seconds/s/chip", rtf_min=s["min"], rtf_max=s["max"],
+                rtf_reference_convention=round(float(np.median(ref_rtfs)), 4),
+                reps=reps, mel_frames=int(mel.shape[0]),
+                weights="trained" if trained else "random",
+                quality_gate="untrained" if not trained else "n/a")
+
+
+def bench_wavernn_e2e(reps: int, batch: int):
+    """Full pipeline with WaveRNN selected as the vocoder: the fused Pallas
+    sampling kernel measured inside text→wav, not in isolation
+    (VERDICT r2 Weak #3)."""
+    from mockingbird_tpu.models.tacotron import Synthesizer
+    from mockingbird_tpu.models.vocoder.wavernn import WaveRnnVocoder
+    from mockingbird_tpu.models.encoder import SpeakerEncoderInference
+
+    wav, sr, ref = load_reference_wav()
+    ckpt = os.environ.get(
+        "MB_BENCH_CKPT",
+        str(Path(__file__).parent / "saved_models/attention_run/synthesizer.ckpt"))
+    trained = Path(ckpt).exists()
+    syn = Synthesizer(ckpt if trained else None, verbose=False)
+    voc = WaveRnnVocoder(verbose=False)
+    enc = SpeakerEncoderInference()
+    embed = enc.embed_utterance(enc.preprocess_wav(wav, sr))
+    texts = [TEXT] * batch
+    embeds = np.tile(embed, (batch, 1))
+    steps = 400  # stop disabled → every mel is exactly 400 frames → ONE
+    # WaveRNN mel-length bucket → one kernel compile
+
+    def run():
+        specs = syn.synthesize_spectrograms(texts, embeds, min_stop_token=11,
+                                            steps=steps)
+        # one fused program for the whole batch: every utterance's folds
+        # share the Pallas kernel's lanes (~4× over per-utterance calls)
+        return voc.infer_waveform_batch(specs)
+
+    wavs = run()  # warm-up
+    dts = []
+    for _ in range(reps):
+        t0 = time.time()
+        wavs = run()
+        dts.append(time.time() - t0)
+    audio_seconds = sum(len(w) for w in wavs) / SR
+    rtfs = [audio_seconds / t for t in dts]
+    s = _stats(rtfs)
+    return dict(metric="e2e_tts_wavernn_rtf_per_chip", value=s["median"],
+                unit="audio_seconds/s/chip", rtf_min=s["min"], rtf_max=s["max"],
+                reps=reps, batch=batch, audio_seconds=round(audio_seconds, 2),
+                weights="trained_synth" if trained else "random")
+
+
+def main():
+    reps = int(os.environ.get("MB_BENCH_REPS", "10"))
+    batch = int(os.environ.get("MB_BENCH_BATCH", "128"))
+    paths = os.environ.get("MB_BENCH_PATHS", "all")
+    budget = float(os.environ.get("MB_BENCH_BUDGET_S", "2700"))
+    t_start = time.time()
+
+    primary = bench_tts(reps, batch)
+    out = {
         "metric": "e2e_tts_rtf_per_chip",
-        "value": round(rtf, 2),
+        "value": primary.pop("value"),
         "unit": "audio_seconds/s/chip",
-        "vs_baseline": round(rtf / 50.0, 3),
-        "weights": "trained" if trained else "random",
-        "quality_gate": gate,
-        "audio_rms": round(rms, 1),
-        "spectral_centroid_hz": round(centroid, 1),
-    }))
-    return 0 if gate != "fail" else 1
+        "vs_baseline": round(primary["rtf_median"] / 50.0, 3),
+        **primary,
+    }
+
+    if paths == "all":
+        extras = []
+        for name, fn in (("vits", lambda: bench_vits(max(reps // 2, 3), min(batch, 16))),
+                         ("ppg_vc", lambda: bench_ppg_vc(max(reps // 2, 3))),
+                         ("wavernn_e2e", lambda: bench_wavernn_e2e(
+                             max(reps // 2, 3), min(batch, 8)))):
+            if time.time() - t_start > budget:
+                extras.append(dict(metric=name, skipped="budget"))
+                continue
+            try:
+                extras.append(fn())
+            except Exception as e:  # a broken extra path must not hide the primary
+                extras.append(dict(metric=name, error=f"{type(e).__name__}: {e}"))
+        out["extra"] = extras
+
+    print(json.dumps(out))
+    return 0 if out.get("quality_gate") != "fail" else 1
 
 
 if __name__ == "__main__":

@@ -108,6 +108,25 @@ def _binary_dilation(mask: np.ndarray, width: int) -> np.ndarray:
     return np.convolve(mask.astype(float), kernel, mode="same") > 0
 
 
+def vad_keep_mask(wav: np.ndarray, cfg) -> np.ndarray:
+    """Per-sample bool keep-mask of the energy VAD (same decision chain as
+    `trim_long_silences`; exposed so it can be compared against webrtcvad
+    golden masks, tests/fixtures/ref_goldens)."""
+    samples_per_window = (cfg.vad_window_length_ms * cfg.sample_rate) // 1000
+    wav = wav[: len(wav) - (len(wav) % samples_per_window)]
+    if len(wav) == 0:
+        return np.zeros((0,), bool)
+    windows = wav.reshape(-1, samples_per_window)
+    rms = np.sqrt(np.mean(windows**2, axis=1))
+    noise_floor = np.percentile(rms, 10)
+    thresh = max(noise_floor * 4.0, rms.max() / 30.0, 1e-5)
+    voice_flags = (rms > thresh).astype(float)
+
+    audio_mask = np.round(_moving_average(voice_flags, cfg.vad_moving_average_width)).astype(bool)
+    audio_mask = _binary_dilation(audio_mask, cfg.vad_max_silence_length + 1)
+    return np.repeat(audio_mask, samples_per_window)
+
+
 def trim_long_silences(wav: np.ndarray, cfg) -> np.ndarray:
     """Energy-VAD silence trimming with the reference's smoothing structure
     (`models/encoder/audio.py:71-108`): 30 ms windows, moving-average width 8,
@@ -121,16 +140,7 @@ def trim_long_silences(wav: np.ndarray, cfg) -> np.ndarray:
     wav = wav[: len(wav) - (len(wav) % samples_per_window)]
     if len(wav) == 0:
         return wav
-    windows = wav.reshape(-1, samples_per_window)
-    rms = np.sqrt(np.mean(windows**2, axis=1))
-    noise_floor = np.percentile(rms, 10)
-    thresh = max(noise_floor * 4.0, rms.max() / 30.0, 1e-5)
-    voice_flags = (rms > thresh).astype(float)
-
-    audio_mask = np.round(_moving_average(voice_flags, cfg.vad_moving_average_width)).astype(bool)
-    audio_mask = _binary_dilation(audio_mask, cfg.vad_max_silence_length + 1)
-    audio_mask = np.repeat(audio_mask, samples_per_window)
-    return wav[audio_mask]
+    return wav[vad_keep_mask(wav, cfg)]
 
 
 def preprocess_wav(fpath_or_wav: Union[str, Path, np.ndarray], cfg,

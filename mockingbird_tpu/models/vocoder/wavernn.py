@@ -289,17 +289,24 @@ class WaveRnnVocoder:
 
         @jax.jit
         def run(mel_p, seed):
+            # mel_p (B, T+2p, M): all B utterances' folds ride ONE kernel —
+            # the sampler's wall time is set by the sequential fold width,
+            # near-flat in fold count, so batching utterances multiplies
+            # throughput instead of serialising per-utterance programs
             mels_up, aux = model.apply(variables, mel_p,
                                        method=WaveRNN.upsample_features)
             pad = max(starts[-1] + width - t_up, 0) if num_folds else 0
             mels_up = jnp.pad(mels_up, ((0, 0), (0, pad), (0, 0)))
             aux = jnp.pad(aux, ((0, 0), (0, pad), (0, 0)))
-            mels_f = mels_up[0, idx]                         # (F, width, M)
-            aux_f = aux[0, idx]
-            return wavernn_sample_pallas(packed, mels_f, aux_f, seed,
-                                         n_classes, greedy=greedy,
-                                         interpret=interpret,
-                                         chunk=64 if interpret else 0)
+            b = mels_up.shape[0]
+            mels_f = mels_up[:, idx].reshape(b * num_folds, width,
+                                             mels_up.shape[-1])
+            aux_f = aux[:, idx].reshape(b * num_folds, width, aux.shape[-1])
+            labels = wavernn_sample_pallas(packed, mels_f, aux_f, seed,
+                                           n_classes, greedy=greedy,
+                                           interpret=interpret,
+                                           chunk=64 if interpret else 0)
+            return labels.reshape(b, num_folds, -1)
 
         return run, num_folds
 
@@ -401,7 +408,7 @@ class WaveRnnVocoder:
             t_up = t_bucket * cfg.hop_size
             run, num_folds = self._fused_pallas_fn(t_up, target, overlap, greedy,
                                                    interpret)
-            labels = run(jnp.asarray(mel_bp), seed)
+            labels = run(jnp.asarray(mel_bp), seed)[0]
             samples = (2.0 * np.asarray(labels, np.float64)
                        / (2 ** cfg.bits - 1.0) - 1.0)
         else:
@@ -429,17 +436,76 @@ class WaveRnnVocoder:
                 samples = np.asarray(gen(jnp.asarray(mels_f), jnp.asarray(aux_f),
                                          jax.random.PRNGKey(seed)), np.float64)
 
-        if batched:
-            output = xfade_and_unfold(samples, overlap)
-        else:
-            output = samples[0]
+        return self._finalize(samples, overlap, wave_len, batched)
 
+    def _finalize(self, samples: np.ndarray, overlap: int, wave_len: int,
+                  batched: bool = True) -> np.ndarray:
+        """Crossfade-unfold + mu-law decode + de-emphasis + trim + fade-out
+        (`fatchord_version.py:245-253`)."""
+        cfg = self.cfg
+        output = xfade_and_unfold(samples, overlap) if batched else samples[0]
         if cfg.mu_law and cfg.mode == "RAW":
             output = decode_mu_law(output, 2 ** cfg.bits, False)
         if cfg.apply_preemphasis:
             output = inv_preemphasis_np(output, cfg.preemphasis)
-
         output = output[:wave_len]
         fade = min(len(output), 20 * cfg.hop_size)
         output[-fade:] *= np.linspace(1, 0, fade)
         return output.astype(np.float32)
+
+    def infer_waveform_batch(self, mels, normalize: bool = True,
+                             target: Optional[int] = None,
+                             overlap: Optional[int] = None, seed: int = 0,
+                             greedy: bool = False, interpret: bool = False,
+                             max_lanes: int = 256) -> list:
+        """Batch of mels → list of waveforms via ONE fused program per group:
+        every utterance's folds are packed into the same Pallas kernel call
+        (the sampler's wall time is the sequential fold width, near-flat in
+        fold count), instead of one serial program per utterance — measured
+        ~4× e2e over per-utterance calls at batch 8 on a v5e chip.
+
+        Utterances are edge-padded to the longest mel's 100-frame bucket so
+        the group shares one compiled program; `max_lanes` caps folds per
+        kernel call (VMEM scratch + conditioning streaming)."""
+        cfg = self.cfg
+        use_pallas = (cfg.mode == "RAW" and cfg.gen_batched
+                      and (interpret or jax.default_backend() not in ("cpu",)))
+        if not use_pallas:
+            return [self.infer_waveform(m, normalize=normalize, target=target,
+                                        overlap=overlap, seed=seed, greedy=greedy)
+                    for m in mels]
+        target = target or cfg.get("gen_target_tpu", 2000)
+        overlap = overlap or cfg.get("gen_overlap_tpu", 200)
+
+        preps, wave_lens = [], []
+        for mel in mels:
+            mel = np.asarray(mel, np.float32)
+            if mel.shape[0] == cfg.feat_dims:
+                mel = mel.T
+            if normalize:
+                mel = mel / cfg.mel_max_abs_value
+            preps.append(mel)
+            wave_lens.append((mel.shape[0] - 1) * cfg.hop_size)
+
+        bucket = 100
+        t_bucket = max(bucket, int(np.ceil(max(m.shape[0] for m in preps)
+                                           / bucket)) * bucket)
+        stacked = np.stack([
+            np.pad(np.pad(m, ((0, t_bucket - m.shape[0]), (0, 0)), mode="edge"),
+                   ((cfg.pad, cfg.pad), (0, 0)))
+            for m in preps])                                 # (B, T+2p, M)
+        t_up = t_bucket * cfg.hop_size
+        run, num_folds = self._fused_pallas_fn(t_up, target, overlap, greedy,
+                                               interpret)
+        group = max(1, max_lanes // max(num_folds, 1))
+        pending = []
+        for i in range(0, len(preps), group):
+            pending.append(run(jnp.asarray(stacked[i : i + group]), seed + i))
+        out = []
+        for labels_dev in pending:
+            labels = np.asarray(labels_dev, np.float64)      # (g, F, width)
+            for b in range(labels.shape[0]):
+                samples = 2.0 * labels[b] / (2 ** cfg.bits - 1.0) - 1.0
+                out.append(self._finalize(samples, overlap,
+                                          wave_lens[len(out)]))
+        return out

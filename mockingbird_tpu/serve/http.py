@@ -194,20 +194,24 @@ def make_handler(toolbox: WebToolbox, jobs: _Jobs):
                     else:
                         return self._send(400, {"error": "need ref wav or path"})
                     name = fields.get("name") or "utt"
-                    self._send(200, tb.embed_utterance(name, wav))
+                    with tb.session_lock:
+                        res = tb.embed_utterance(name, wav)
+                    self._send(200, res)
                 elif self.path == "/api/synthesize_mel":
                     req = self._json_body()
-                    res = tb.synthesize(
-                        req.get("text", ""), req.get("utterance"),
-                        seed=req.get("seed"), style_idx=int(req.get("style_idx", 0)),
-                        steps=int(req.get("steps", 1000)),
-                        min_stop_token=int(req.get("min_stop_token", 5)))
+                    with tb.session_lock:
+                        res = tb.synthesize(
+                            req.get("text", ""), req.get("utterance"),
+                            seed=req.get("seed"), style_idx=int(req.get("style_idx", 0)),
+                            steps=int(req.get("steps", 1000)),
+                            min_stop_token=int(req.get("min_stop_token", 5)))
                     self._send(200, res)
                 elif self.path == "/api/vocode":
                     req = self._json_body()
-                    res = tb.vocode(req.get("vocoder", "hifigan"))
-                    self._send(200, _wav_bytes(tb.current_wav, tb.sample_rate),
-                               "audio/wav", {"X-RTF": f"{res['rtf']:.1f}"})
+                    with tb.session_lock:
+                        res = tb.vocode(req.get("vocoder", "hifigan"))
+                        body = _wav_bytes(tb.current_wav, tb.sample_rate)
+                    self._send(200, body, "audio/wav", {"X-RTF": f"{res['rtf']:.1f}"})
                 elif self.path == "/api/synthesize":
                     fields = _parse_multipart(self)
                     text = fields.get("text", "")
@@ -215,13 +219,17 @@ def make_handler(toolbox: WebToolbox, jobs: _Jobs):
                     if not text or ref is None:
                         return self._send(400, {"error": "need text + ref wav"})
                     wav = read_audio(ref, tb.sample_rate)
-                    tb.embed_utterance("api_ref", wav)
-                    tb.synthesize(text, "api_ref",
-                                  seed=int(fields["seed"]) if fields.get("seed") else None,
-                                  style_idx=int(fields.get("style_idx", 0)))
-                    res = tb.vocode(fields.get("vocoder", "hifigan"))
-                    self._send(200, _wav_bytes(tb.current_wav, tb.sample_rate),
-                               "audio/wav", {"X-RTF": f"{res['rtf']:.1f}"})
+                    # the embed→synthesize→vocode flow mutates session state
+                    # (named embed, current_spec/current_wav): concurrent
+                    # requests must not interleave their stages
+                    with tb.session_lock:
+                        tb.embed_utterance("api_ref", wav)
+                        tb.synthesize(text, "api_ref",
+                                      seed=int(fields["seed"]) if fields.get("seed") else None,
+                                      style_idx=int(fields.get("style_idx", 0)))
+                        res = tb.vocode(fields.get("vocoder", "hifigan"))
+                        body = _wav_bytes(tb.current_wav, tb.sample_rate)
+                    self._send(200, body, "audio/wav", {"X-RTF": f"{res['rtf']:.1f}"})
                 elif self.path == "/api/stream_tts":
                     fields = _parse_multipart(self)
                     text = fields.get("text", "")
@@ -234,9 +242,10 @@ def make_handler(toolbox: WebToolbox, jobs: _Jobs):
                     fields = _parse_multipart(self)
                     ref = read_audio(fields["ref"], tb.sample_rate)
                     src = read_audio(fields["src"], tb.sample_rate)
-                    res = tb.convert(ref, src, fields.get("vocoder", "hifigan"))
-                    self._send(200, _wav_bytes(tb.current_wav, tb.sample_rate),
-                               "audio/wav", {"X-RTF": f"{res['rtf']:.2f}"})
+                    with tb.session_lock:
+                        res = tb.convert(ref, src, fields.get("vocoder", "hifigan"))
+                        body = _wav_bytes(tb.current_wav, tb.sample_rate)
+                    self._send(200, body, "audio/wav", {"X-RTF": f"{res['rtf']:.2f}"})
                 elif self.path == "/api/preprocess":
                     req = self._json_body()
                     from ..models.tacotron.preprocess import preprocess_dataset

@@ -12,6 +12,7 @@ endpoints are testable without compiling the full pipeline.
 from __future__ import annotations
 
 import io
+import threading
 import time
 import wave
 from pathlib import Path
@@ -135,6 +136,11 @@ class WebToolbox:
         self.current_spec: Optional[np.ndarray] = None  # (n_mels, T)
         self.current_wav: Optional[np.ndarray] = None
         self.sample_rate = 16000
+        # serialises stateful request flows (embed→synthesize→vocode all
+        # mutate the session: current_spec/current_wav/utterances). JAX
+        # dispatch itself is thread-safe; this lock is about session
+        # consistency under ThreadingHTTPServer concurrency, not the device.
+        self.session_lock = threading.RLock()
 
     # -- lazy model access --------------------------------------------------
     @property

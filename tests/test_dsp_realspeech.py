@@ -8,6 +8,8 @@ robustness checks on the bundled real utterance and on synthetic
 creaky/breathy speech, (c) trim-decision checks on real speech with injected
 silence. See BASELINE.md for the honest statement of this limitation.
 """
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -191,3 +193,66 @@ def test_vad_agreement_with_independent_detector(sample_wav):
 
     agreement = (mask == mask2).mean()
     assert agreement >= 0.85, f"VAD agreement only {agreement:.0%}"
+
+
+# ---------------------------------------------------------------------------
+# Reference-binary goldens (VERDICT r2 Next #6). The fixtures are produced
+# by scripts/make_reference_goldens.py in an environment where webrtcvad and
+# pyworld ARE installed; when committed, these tests validate the
+# substitutes against the actual reference binaries' output. They skip
+# (visibly) when no fixtures exist — this offline environment cannot
+# generate them.
+# ---------------------------------------------------------------------------
+
+GOLDENS = sorted(
+    (Path(__file__).parent / "fixtures" / "ref_goldens").glob("*.npz"))
+
+
+@pytest.mark.parametrize("fixture", GOLDENS or [None],
+                         ids=[f.stem for f in GOLDENS] or ["missing"])
+def test_vad_agrees_with_webrtcvad_golden(fixture):
+    """Energy-VAD keep-mask vs the reference's webrtcvad mask: >=85% sample
+    agreement, and >=95% of the golden's kept (speech) samples retained."""
+    if fixture is None:
+        pytest.skip("no ref_goldens fixtures committed (generate with "
+                    "scripts/make_reference_goldens.py where webrtcvad is "
+                    "installed)")
+    from mockingbird_tpu.config import encoder_audio_config
+    from mockingbird_tpu.dsp.audio import normalize_volume, vad_keep_mask
+
+    z = np.load(fixture)
+    wav = normalize_volume(z["wav"].astype(np.float32), -30.0,
+                           increase_only=True)
+    ours = vad_keep_mask(wav, encoder_audio_config())
+    gold = z["vad_keep_mask"][: len(ours)]
+    ours = ours[: len(gold)]
+    agreement = float(np.mean(ours == gold))
+    speech_kept = float(ours[gold].mean()) if gold.any() else 1.0
+    assert agreement >= 0.85, f"{fixture.stem}: mask agreement {agreement:.2%}"
+    assert speech_kept >= 0.95, f"{fixture.stem}: dropped speech {1-speech_kept:.2%}"
+
+
+@pytest.mark.parametrize("fixture", GOLDENS or [None],
+                         ids=[f.stem for f in GOLDENS] or ["missing"])
+def test_f0_agrees_with_harvest_golden(fixture):
+    """Autocorrelation f0 vs pyworld harvest: on frames both call voiced,
+    median relative error < 5% with < 15% gross (octave-class) errors; v/uv
+    decisions agree on >= 80% of frames."""
+    if fixture is None:
+        pytest.skip("no ref_goldens fixtures committed (generate with "
+                    "scripts/make_reference_goldens.py where pyworld is "
+                    "installed)")
+    z = np.load(fixture)
+    ours = compute_f0(z["wav"].astype(np.float32))
+    gold = z["harvest_f0"]
+    n = min(len(ours), len(gold))
+    ours, gold = ours[:n], gold[:n]
+    voiced_agree = float(np.mean((ours > 0) == (gold > 0)))
+    both = (ours > 0) & (gold > 0)
+    assert voiced_agree >= 0.80, f"{fixture.stem}: v/uv agreement {voiced_agree:.2%}"
+    if both.sum() >= 10:
+        rel = np.abs(ours[both] - gold[both]) / gold[both]
+        assert float(np.median(rel)) < 0.05, \
+            f"{fixture.stem}: median f0 err {np.median(rel):.2%}"
+        assert float(np.mean(rel > 0.2)) < 0.15, \
+            f"{fixture.stem}: gross errors {np.mean(rel > 0.2):.2%}"

@@ -275,6 +275,38 @@ def test_wavernn_fused_vs_unfused_parity():
     np.testing.assert_allclose(wav_fused[:cut], wav_unfused[:cut], atol=1e-5)
 
 
+@pytest.mark.slow
+def test_wavernn_batch_matches_single(tmp_path):
+    """infer_waveform_batch packs every utterance's folds into one kernel
+    call; per-utterance greedy outputs must equal the single-mel fused path
+    exactly (lanes are independent)."""
+    from mockingbird_tpu.config import Config
+    from mockingbird_tpu.models.vocoder.wavernn import WaveRnnVocoder, wavernn_config
+
+    cfg = Config(wavernn_config()).merge(dict(
+        rnn_dims=32, fc_dims=32, compute_dims=16, res_out_dims=16, res_blocks=2,
+        upsample_factors=[4, 4], hop_size=16, seq_len=16 * 4, pad=2))
+    voc = WaveRnnVocoder(cfg=cfg, verbose=False)
+    rng = np.random.RandomState(0)
+    # both lengths land in the same 100-frame bucket (200), so the
+    # single-mel path compiles the identical fold geometry as the batch
+    mels = [rng.randn(80, 110).astype(np.float32),
+            rng.randn(80, 150).astype(np.float32)]
+    target, overlap = 600, 100
+
+    batch_out = voc.infer_waveform_batch(mels, target=target, overlap=overlap,
+                                         greedy=True, interpret=True)
+    for mel, wav_b in zip(mels, batch_out):
+        wav_s = voc.infer_waveform(mel, batched=True, target=target,
+                                   overlap=overlap, greedy=True,
+                                   use_pallas=True, interpret=True)
+        # the batch path pads to the LONGEST mel's bucket; conditioning for
+        # the shorter mel is edge-padded further out, but both runs share
+        # the 100-frame bucket here so outputs match exactly
+        assert wav_b.shape == wav_s.shape
+        np.testing.assert_allclose(wav_b, wav_s, atol=1e-5)
+
+
 def test_wavernn_load_invalidates_caches(tmp_path):
     """Hot-swapping weights must not keep sampling with stale compiled
     programs (the jitted closures capture self.variables)."""

@@ -236,3 +236,126 @@ def test_stream_tts(server):
     silence = (n_chunks - 1) * int(sr * 0.15) * 2
     expect = 44 + n_chunks * 4000 * 2 + silence
     assert len(data) == expect
+
+
+# ---------------------------------------------------------------------------
+# Concurrency (VERDICT r2 Next #7): ThreadingHTTPServer drives the same
+# pipeline from many threads; the session lock must keep each request's
+# embed→synthesize→vocode stages from interleaving with another request's.
+# ---------------------------------------------------------------------------
+
+class _SlowSynth:
+    """Output depends deterministically on the text; stage boundaries sleep
+    so unserialised concurrent requests WOULD interleave and corrupt."""
+    seed = 0
+
+    def synthesize_spectrograms(self, texts, embeds, **kw):
+        import time as _t
+        n = 40 + 13 * int(texts[0])  # text-determined mel width
+        _t.sleep(0.05)
+        return [np.full((80, n), float(texts[0]) + 1.0, np.float32)]
+
+    def griffin_lim(self, mel):
+        return np.zeros(mel.shape[1] * 256, np.float32)
+
+
+class _SlowVocoder:
+    def infer_waveform(self, mel):
+        import time as _t
+        _t.sleep(0.05)
+        return np.full(mel.shape[1] * 256, 0.5, np.float32)
+
+
+class _SlowPipeline(_FakePipeline):
+    def __init__(self):
+        super().__init__()
+        self.synthesizer = _SlowSynth()
+
+    def tts_batch(self, texts, ref_wav, embed=None, **kw):
+        import time as _t
+        _t.sleep(0.05)
+        # identity rides in the text LENGTH ("a"*k) — survives the stream
+        # endpoint's text normalisation, unlike digits
+        return [np.full(2000 * len(t.strip()), 1000 * len(t.strip()), np.int16)
+                for t in texts]
+
+
+@pytest.fixture(scope="module")
+def slow_server(tmp_path_factory):
+    tb = WebToolbox(datasets_root=None, models_dir=None,
+                    pipeline_factory=_SlowPipeline, vc_factory=_FakeVC,
+                    vocoder_factory=lambda name: _SlowVocoder(), seed=0)
+    srv = serve(port=0, block=False, toolbox=tb)
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_concurrent_synthesize_not_interleaved(slow_server):
+    """8 simultaneous /api/synthesize requests with distinct texts: every
+    response's waveform length must match ITS text's mel width (a corrupted
+    current_spec/current_wav handoff yields another request's length)."""
+    import concurrent.futures
+
+    def one(i):
+        wav, hdrs = _post_multipart(slow_server + "/api/synthesize", {
+            "text": (None, str(i)), "ref": ("r.wav", _wav_payload(200 + 10 * i))})
+        return i, wav
+
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(one, range(8)))
+    for i, wav in results:
+        assert wav[:4] == b"RIFF"
+        with wave.open(io.BytesIO(wav)) as w:
+            n = w.getnframes()
+        expect = (40 + 13 * i) * 256
+        assert n == expect, f"request {i}: got {n} frames, expected {expect}"
+
+
+def test_concurrent_stream_tts(slow_server):
+    """4 simultaneous /api/stream_tts requests: each stream's PCM payload
+    must carry its own text's length and sample values end to end."""
+    import concurrent.futures
+
+    def one(i):
+        data, hdrs = _post_multipart(slow_server + "/api/stream_tts", {
+            "text": (None, "a" * (i + 1)), "ref": ("ref.wav", _wav_payload())})
+        return i, data, hdrs
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(one, range(4)))
+    for i, data, hdrs in results:
+        assert data[:4] == b"RIFF"
+        pcm = np.frombuffer(data[44:], np.int16)
+        assert len(pcm) == 2000 * (1 + i), (i, len(pcm))
+        assert (pcm == 1000 * (1 + i)).all(), f"stream {i} carried foreign PCM"
+
+
+def test_concurrent_mixed_load(slow_server):
+    """synthesize + stream + embed fired together: no 500s, all correct."""
+    import concurrent.futures
+
+    def synth(i):
+        wav, _ = _post_multipart(slow_server + "/api/synthesize", {
+            "text": (None, str(i)), "ref": ("r.wav", _wav_payload())})
+        with wave.open(io.BytesIO(wav)) as w:
+            return ("synth", i, w.getnframes())
+
+    def stream(i):
+        data, _ = _post_multipart(slow_server + "/api/stream_tts", {
+            "text": (None, "a" * (i + 1)), "ref": ("ref.wav", _wav_payload())})
+        return ("stream", i, len(np.frombuffer(data[44:], np.int16)))
+
+    def embed(i):
+        res, _ = _post_multipart(slow_server + "/api/embed", {
+            "name": (None, f"c{i}"), "ref": ("r.wav", _wav_payload(300 + i))})
+        return ("embed", i, len(res["embed_preview"]) if "embed_preview" in res else 1)
+
+    with concurrent.futures.ThreadPoolExecutor(6) as ex:
+        futs = [ex.submit(synth, 0), ex.submit(stream, 1), ex.submit(embed, 2),
+                ex.submit(synth, 3), ex.submit(stream, 2), ex.submit(embed, 5)]
+        results = [f.result(timeout=120) for f in futs]
+    for kind, i, val in results:
+        if kind == "synth":
+            assert val == (40 + 13 * i) * 256, (i, val)
+        elif kind == "stream":
+            assert val == 2000 * (1 + i), (i, val)
