@@ -16,6 +16,16 @@ import jax
 
 jax.config.update("jax_platforms", _platform)
 
+# Persistent compilation cache: the suite's cost is dominated by XLA compiles
+# (the Tacotron generation while_loop alone is ~50 s); repeat runs reuse them.
+# Safe to share across workers (the cache is content-addressed + atomic).
+if os.environ.get("MB_TEST_NO_COMPILE_CACHE") != "1":
+    _cache_dir = os.environ.get(
+        "MB_TEST_COMPILE_CACHE", "/tmp/mockingbird_tpu_test_xla_cache")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np
 import pytest
 

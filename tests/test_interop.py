@@ -238,6 +238,7 @@ def test_vits_infer_equivalence(use_sdp):
     np.testing.assert_allclose(np.asarray(o_f), o_t.numpy()[:, 0, :], atol=2e-4)
 
 
+@pytest.mark.slow
 def test_vits_posterior_flow_equivalence():
     """enc_q stats and the forward flow match the reference (training path,
     noise neutralised by feeding m_q through both flows)."""
@@ -276,6 +277,7 @@ def test_vits_posterior_flow_equivalence():
     np.testing.assert_allclose(np.asarray(z_p_f), z_p_t.numpy().transpose(0, 2, 1), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fregan_generator_equivalence():
     from mockingbird_tpu.interop import (convert_fregan_generator,
                                          load_reference_fregan,
@@ -325,6 +327,7 @@ def test_conformer_encoder_equivalence(input_layer):
     np.testing.assert_allclose(yf, yt.numpy(), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_conformer_encoder_equivalence_longer():
     """Equivalence holds at other sequence lengths too (the legacy espnet
     positional table is sliced per length — worth pinning)."""
@@ -352,6 +355,7 @@ def test_conformer_encoder_equivalence_longer():
     np.testing.assert_allclose(yf, yt.numpy(), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ppg2mel_equivalence():
     """MelDecoderMOLv2 teacher-forced forward (downsample prenets, MOL
     attention LSTM decoder, postnet) matches the reference with converted
@@ -426,6 +430,7 @@ def test_ppg2mel_equivalence():
         ref_p2m.get_mask_from_lengths = orig_mask_p2m
 
 
+@pytest.mark.slow
 def test_import_checkpoint_roundtrip(tmp_path):
     """`import-checkpoint` converts a reference-format torch file and our
     inference wrappers load the result (full user path for community ckpts)."""

@@ -109,6 +109,7 @@ def test_gan_step_bf16_parity():
     np.testing.assert_allclose(results["bf16"][1], results["fp32"][1], rtol=0.15)
 
 
+@pytest.mark.slow
 def test_encoder_step_bf16_parity():
     from mockingbird_tpu.models.encoder.model import SpeakerEncoder, init_params
     from mockingbird_tpu.models.encoder.train import make_train_step

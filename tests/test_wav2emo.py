@@ -94,6 +94,7 @@ def test_wav2vec2_masked_equivalence(stable, norm):
     assert err.max() < 2e-5
 
 
+@pytest.mark.slow
 def test_emotion_model_head_equivalence():
     """Full EmotionExtractorModel (wav2vec2 + tanh regression head, pooled
     mean) == the reference's wav2emo forward (`wav2emo.py:38-50`)."""
