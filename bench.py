@@ -89,8 +89,23 @@ def bench_tts(reps: int, batch: int):
         "MB_BENCH_CKPT",
         str(Path(__file__).parent / "saved_models/attention_run/synthesizer.ckpt"))
     trained = Path(ckpt).exists()
-    pipe = VoiceCloningPipeline(verbose=False,
-                                synthesizer_fpath=ckpt if trained else None)
+    # trained auxiliary stages when their on-chip evidence runs have exported
+    # weights (scripts/encoder_run.py, scripts/gan_run.py) — the benched
+    # pipeline is then trained end-to-end, not just the synthesizer
+    enc_ckpt = os.environ.get(
+        "MB_BENCH_ENC_CKPT",
+        str(Path(__file__).parent / "saved_models/encoder_run/encoder.ckpt"))
+    voc_ckpt = os.environ.get(
+        "MB_BENCH_VOC_CKPT",
+        str(Path(__file__).parent / "saved_models/gan_run/vocoder_hifigan.ckpt"))
+    pipe = VoiceCloningPipeline(
+        verbose=False,
+        encoder_fpath=enc_ckpt if Path(enc_ckpt).exists() else None,
+        synthesizer_fpath=ckpt if trained else None,
+        vocoder_fpath=voc_ckpt if Path(voc_ckpt).exists() else None)
+    trained_stages = dict(
+        synthesizer=trained, encoder=Path(enc_ckpt).exists(),
+        vocoder=Path(voc_ckpt).exists())
     texts = [TEXT] * batch
     steps = 400  # fixed AR workload; min_stop_token=11 disables early stop
 
@@ -184,6 +199,7 @@ def bench_tts(reps: int, batch: int):
         stages_s={k: _stats(times[k]) for k in stage_names},
         embed_cold_s=round(embed_cold, 3), embed_warm_s=round(embed_warm, 3),
         weights="trained" if trained else "random",
+        trained_stages=trained_stages,
         quality_gate=gate, audio_rms=round(rms, 1),
         spectral_centroid_hz=round(centroid, 1),
     )

@@ -87,6 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--total_steps", type=int, default=None)
     sp.add_argument("--precision", choices=("fp32", "bf16"), default="bf16",
                     help="bf16 = mixed-precision compute (fp32 master params)")
+    sp.add_argument("--guided_attn", type=float, default=0.0,
+                    help="guided-attention loss weight (0 = off, reference "
+                         "parity; ~0.2 makes alignment emerge much earlier)")
     sp.set_defaults(func=cmd_train_synth)
 
     sp = sub.add_parser("train-vits", help="train.py --type=vits")
@@ -299,7 +302,8 @@ def cmd_train_synth(args):
     from ..models.tacotron.model import tacotron_config
     from ..models.tacotron.train import train
     train(args.run_id, args.syn_dir, args.models_dir, total_steps=args.total_steps,
-          precision=args.precision, cfg=_hp_cfg(args, tacotron_config()))
+          precision=args.precision, guided_attn_weight=args.guided_attn,
+          cfg=_hp_cfg(args, tacotron_config()))
 
 
 def cmd_train_vits(args):

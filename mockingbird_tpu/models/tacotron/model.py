@@ -47,6 +47,7 @@ def tacotron_config() -> Config:
         speaker_embedding_size=256,
         max_r=20,
         stop_threshold=-3.4,
+        lsa_mask="additive",        # "reference" = the lsa.py:41 u*mask quirk
         use_gst=True,
         use_ser_for_gst=True,
         gst_E=512,
@@ -248,11 +249,21 @@ class GlobalStyleToken(nn.Module):
 
 class LSA(nn.Module):
     """Location-sensitive attention (`sublayer/lsa.py:5-43`): conv(31,32) over
-    the cumulative attention, additive scoring. The padding mask multiplies
-    pre-softmax logits by 0 — mirrored exactly (reference quirk)."""
+    the cumulative attention, additive scoring.
+
+    Masking diverges deliberately from the reference: `lsa.py:41` multiplies
+    pre-softmax logits by the char mask, so every padded position keeps
+    logit 0 → weight e⁰. The reference pads text only to the batch max, so
+    the leak is small; this build bucket-pads text to fixed lengths
+    (XLA compile-cache keys, `dataset.py:TEXT_BUCKET`), where dozens of e⁰
+    pad positions soak up real attention mass and visibly blur alignment.
+    Default is therefore proper additive masking (-1e9 on pads); the quirk
+    stays available as masking="reference" (with no padded positions the two
+    are identical, which is why torch-equivalence tests pass either way)."""
     attn_dim: int
     kernel_size: int = 31
     filters: int = 32
+    masking: str = "additive"
 
     @nn.compact
     def __call__(self, encoder_seq_proj, query, cumulative, char_mask):
@@ -262,7 +273,10 @@ class LSA(nn.Module):
         processed_loc = nn.Dense(self.attn_dim, use_bias=False, name="L")(loc)
         u = nn.Dense(1, use_bias=False, name="v")(
             jnp.tanh(processed_query + encoder_seq_proj + processed_loc))[..., 0]
-        u = u * char_mask
+        if self.masking == "reference":
+            u = u * char_mask
+        else:
+            u = jnp.where(char_mask > 0, u, -1e9)
         return jax.nn.softmax(u, axis=1)  # (B, T_text)
 
 
@@ -275,7 +289,8 @@ class TacotronDecoderCell(nn.Module):
         c = self.cfg
         self.prenet = PreNet(c.decoder_dims * 2, c.decoder_dims * 2, c.dropout,
                              enabled=getattr(c, "prenet_dropout", True), name="prenet")
-        self.attn_net = LSA(c.decoder_dims, name="attn_net")
+        self.attn_net = LSA(c.decoder_dims, name="attn_net",
+                            masking=getattr(c, "lsa_mask", "additive"))
         self.attn_rnn = nn.GRUCell(c.decoder_dims, name="attn_rnn")
         self.rnn_input = nn.Dense(c.lstm_dims, name="rnn_input")
         self.res_rnn1 = nn.OptimizedLSTMCell(c.lstm_dims, name="res_rnn1")

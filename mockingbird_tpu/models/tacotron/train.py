@@ -51,6 +51,28 @@ def tacotron_loss(out, batch):
     return m1 + m2 + stop_l, dict(m1=m1, m2=m2, stop=stop_l)
 
 
+def guided_attention_loss(attn, text_lengths, mel_lengths, r: int,
+                          g: float = 0.2):
+    """Guided-attention penalty (Tachibana et al. 2017, DC-TTS eq. 12):
+    soft diagonal prior W[s,t] = 1 − exp(−(t/T − s/S)²/2g²) applied to the
+    LSA weights over the real (step, char) region. Not in the reference —
+    its training relies on alignment emerging unaided after ~18k steps
+    (`/root/reference/README.md:249`); with this on (train(...,
+    guided_attn_weight=0.2)) alignment typically emerges within ~1-2k steps.
+    Off by default for behavioural parity."""
+    b, s_max, t_max = attn.shape
+    steps = jnp.ceil(mel_lengths / r).astype(jnp.float32)            # (B,)
+    tl = text_lengths.astype(jnp.float32)
+    s_idx = jnp.arange(s_max, dtype=jnp.float32)[None, :, None]
+    t_idx = jnp.arange(t_max, dtype=jnp.float32)[None, None, :]
+    sn = s_idx / jnp.maximum(steps[:, None, None], 1.0)
+    tn = t_idx / jnp.maximum(tl[:, None, None], 1.0)
+    w = 1.0 - jnp.exp(-((tn - sn) ** 2) / (2.0 * g * g))
+    mask = ((s_idx < steps[:, None, None]) & (t_idx < tl[:, None, None]))
+    # each real decoder step contributes its off-diagonal attention mass
+    return jnp.sum(attn * w * mask) / jnp.maximum(jnp.sum(steps), 1.0)
+
+
 def finetune_mask(params, layers):
     """Trainable-parameter mask for partial finetuning (reference
     `models/base.py:71-77` `finetune_partial`; layer names follow
@@ -67,7 +89,8 @@ def finetune_mask(params, layers):
     return jax.tree_util.tree_map_with_path(mask_path, params)
 
 
-def make_train_step(model: Tacotron, tx, r: int, precision: str = "fp32"):
+def make_train_step(model: Tacotron, tx, r: int, precision: str = "fp32",
+                    guided_attn_weight: float = 0.0, guided_attn_g: float = 0.2):
     policy = Policy.from_name(precision)
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -83,6 +106,12 @@ def make_train_step(model: Tacotron, tx, r: int, precision: str = "fp32"):
                 rngs={"dropout": dk, "zoneout": zk}, mutable=["batch_stats"])
             out = policy.uncast(out)
             loss, parts = tacotron_loss(out, batch)
+            if guided_attn_weight:
+                g_l = guided_attention_loss(out[2], batch["text_lengths"],
+                                            batch["mel_lengths"], r,
+                                            guided_attn_g)
+                loss = loss + guided_attn_weight * g_l
+                parts = dict(parts, guided=g_l)
             # out[1] (postnet mel) rides along for eval artifacts, like the
             # reference's m2_hat (`train.py:246-265`); it costs nothing until
             # the host fetches it at an eval step
@@ -103,7 +132,7 @@ def train(run_id: str, syn_dir: Path, models_dir: Path,
           eval_every: int = 500, force_restart: bool = False,
           total_steps: Optional[int] = None, use_mesh: bool = True,
           cfg=None, audio_cfg=None, seed: int = 0, finetune_layers=(),
-          precision: str = "bf16"):
+          precision: str = "bf16", guided_attn_weight: float = 0.0):
     multihost.initialize_from_env()
     syn_dir = Path(syn_dir)
     cfg = cfg or tacotron_config()
@@ -156,7 +185,8 @@ def train(run_id: str, syn_dir: Path, models_dir: Path,
         if mesh is not None and jax.process_count() > 1:
             params, batch_stats, opt_state = multihost.make_global(
                 mesh, (params, batch_stats, opt_state))
-        step_fn = make_train_step(model, tx, r, precision)
+        step_fn = make_train_step(model, tx, r, precision,
+                                  guided_attn_weight=guided_attn_weight)
         print(f"Session {session_i}: r={r} lr={lr} batch={batch_size} until step {max_step}")
 
         t0, loss_acc = time.time(), []

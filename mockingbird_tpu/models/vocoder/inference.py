@@ -34,7 +34,15 @@ class GanVocoder:
                  cfg=None, verbose: bool = True, seed: int = 0, half: bool = True):
         self.arch = arch
         base = hifigan_config() if arch == "hifigan" else fregan_config()
-        self.cfg = Config(base).merge(cfg or {})
+        self.cfg = Config(base)
+        # a config sidecar next to the checkpoint (e.g. the hop-256 GTA
+        # fine-tune variant scripts/gan_run.py exports) overrides the stock
+        # arch config, like the reference's per-checkpoint config.json
+        if model_fpath is not None:
+            sidecar = Path(model_fpath).with_suffix(".json")
+            if sidecar.exists():
+                self.cfg = Config.from_json(sidecar)
+        self.cfg.merge(cfg or {})
         fcfg = self.cfg.freeze()
         self.model = (HifiGenerator(fcfg) if arch == "hifigan" else FreGanGenerator(fcfg))
         seg = self.cfg.segment_size // self.cfg.hop_size

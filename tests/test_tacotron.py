@@ -134,3 +134,61 @@ def test_symbol_ids_fit_embedding():
     s = "ni3 hao3 SHI4 jie4! (testing) 0123456789 .,:;?'-"
     ids = text_to_sequence(s, ("english_cleaners",)) + text_to_sequence(s)
     assert max(ids) < cfg.num_chars
+
+
+def test_lsa_padding_mask():
+    """Additive masking (default) gives padded chars ~zero attention even
+    under heavy bucket padding; masking="reference" reproduces the lsa.py:41
+    u*mask quirk (pad logits 0 → weight e^0); with no pads the two agree."""
+    from mockingbird_tpu.models.tacotron.model import LSA
+
+    rng = np.random.RandomState(0)
+    b, t, d = 2, 32, 16
+    enc_proj = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    query = jnp.asarray(rng.randn(b, d).astype(np.float32))
+    cumulative = jnp.asarray(np.abs(rng.randn(b, t)).astype(np.float32))
+    mask = np.ones((b, t), np.float32)
+    mask[:, 10:] = 0.0  # 22 of 32 positions are padding
+
+    add = LSA(d, masking="additive")
+    ref = LSA(d, masking="reference")
+    params = add.init(jax.random.PRNGKey(1), enc_proj, query, cumulative,
+                      jnp.asarray(mask))
+    s_add = np.asarray(add.apply(params, enc_proj, query, cumulative, jnp.asarray(mask)))
+    s_ref = np.asarray(ref.apply(params, enc_proj, query, cumulative, jnp.asarray(mask)))
+
+    assert s_add[:, 10:].sum() < 1e-6          # no leak to pads
+    assert s_ref[:, 10:].sum() > 0.3           # the quirk leaks real mass
+    full = jnp.asarray(np.ones((b, t), np.float32))
+    np.testing.assert_allclose(
+        np.asarray(add.apply(params, enc_proj, query, cumulative, full)),
+        np.asarray(ref.apply(params, enc_proj, query, cumulative, full)),
+        atol=1e-6)
+
+
+def test_guided_attention_loss():
+    """Diagonal attention scores near zero; attention parked on one anchor
+    char (the observed failure mode) is penalised; padded region ignored."""
+    from mockingbird_tpu.models.tacotron.train import guided_attention_loss
+
+    b, s_max, t_max, r = 2, 20, 24, 2
+    tl = jnp.asarray([20, 10], jnp.int32)
+    ml = jnp.asarray([40, 20], jnp.int32)  # → 20 / 10 real steps
+
+    diag = np.zeros((b, s_max, t_max), np.float32)
+    parked = np.zeros((b, s_max, t_max), np.float32)
+    for bi, (T, S) in enumerate([(20, 20), (10, 10)]):
+        for s in range(S):
+            diag[bi, s, int(round(s * (T - 1) / max(S - 1, 1)))] = 1.0
+        parked[bi, :, T - 1] = 1.0  # latched on the last char
+    l_diag = float(guided_attention_loss(jnp.asarray(diag), tl, ml, r))
+    l_park = float(guided_attention_loss(jnp.asarray(parked), tl, ml, r))
+    assert l_diag < 0.05
+    assert l_park > 0.3
+
+    # attention mass outside the real region must not change the loss
+    noisy = diag.copy()
+    noisy[0, 15:, 21:] = 5.0
+    np.testing.assert_allclose(
+        float(guided_attention_loss(jnp.asarray(noisy), tl, ml, r)), l_diag,
+        atol=1e-6)
