@@ -73,8 +73,12 @@ class SpeakerEncoderInference:
 
     @classmethod
     def from_checkpoint(cls, path: Union[str, Path], cfg=None) -> "SpeakerEncoderInference":
-        template = {"model": init_params(jax.random.PRNGKey(0))["model"]}
-        params = load_single(path, template)
+        """Accepts any of the shipped layouts: {"model": ...} (this class's
+        save_checkpoint), {"params": {"model", "similarity"}} (the trainer's
+        full state, e.g. scripts/encoder_run.py exports), or bare params."""
+        params = load_single(path)
+        if "params" in params:
+            params = params["params"]
         return cls(params, cfg)
 
     def save_checkpoint(self, path: Union[str, Path]) -> None:
