@@ -77,6 +77,11 @@ def main():
         audio_cfg = sv2tts_audio_config().merge(dict(utterance_min_duration=0.3))
         preprocess_dataset(corpus, syn, n_processes=4,
                            dataset="aidatatang_200zh", audio_cfg=audio_cfg)
+        if args.gta_run is not None:
+            # GTA synthesis conditions on speaker embeddings (embeds/), which
+            # the mel preprocess alone does not produce
+            from mockingbird_tpu.models.tacotron.preprocess import create_embeddings
+            create_embeddings(syn, None, n_processes=4)
 
     import jax
     import jax.numpy as jnp
