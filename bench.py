@@ -20,12 +20,17 @@ Extra product paths (VERDICT r2 Next #3), same JSON line under "extra":
 - e2e TTS with WaveRNN as the vocoder (the fused Pallas sampling kernel
   measured inside the full pipeline, not in isolation)
 
-Prints ONE JSON line. Quality gate: when a trained synthesizer export
-exists (env MB_BENCH_CKPT or `saved_models/attention_run/synthesizer.ckpt`,
-produced by scripts/attention_run.py) the pipeline runs with TRAINED
-weights and the output audio must pass sanity checks (non-silence +
-spectral centroid in the speech band). With fresh weights the gate reports
-"untrained" instead of asserting.
+Prints ONE JSON line. Quality gate semantics (strictly ordered — an
+untrained benched stage can NEVER read as "pass"):
+- "pass"      every benched stage runs trained weights AND audio sanity
+              (non-silence + speech-band centroid) holds AND the vocoder
+              mel-reconstruction L1 check holds;
+- "degraded"  the synthesizer is trained but some benched stage
+              (encoder / vocoder) fell back to random weights — the RTF is
+              still measured but must not be quoted as a quality result;
+- "untrained" no trained synthesizer export exists at all;
+- "fail"      everything trained but a quality check failed (exit 1).
+`--strict` / MB_BENCH_STRICT=1 exits nonzero for anything but "pass".
 
 Env knobs: MB_BENCH_BATCH (128), MB_BENCH_REPS (10), MB_BENCH_PATHS
 ("all" | "tts"), MB_BENCH_BUDGET_S (2700: skip remaining extra paths once
@@ -79,6 +84,32 @@ def load_reference_wav():
         return wav, SR, None
 
 
+def vocoder_fidelity_l1(pipe, embed) -> float:
+    """Mel-reconstruction fidelity of the benched vocoder (VERDICT r3 Weak
+    #2: rms/centroid alone pass with a random-weight generator). Synthesize
+    a few mels with the benched synthesizer, vocode them, re-analyze the
+    audio with the same SV2TTS mel frontend, and report L1 in the
+    ±4-normalized mel space. Measured on-chip (r4): random-weight HiFi-GAN
+    1.02, the GTA-fine-tuned export 0.27 — the 0.6 gate splits them.
+    Mirrors the reference's acceptance loop of listening to eval audio
+    against its mel (`/root/reference/models/synthesizer/train.py:240-277`)."""
+    from mockingbird_tpu.dsp import melspectrogram
+    texts = [TEXT] * 2
+    embeds = np.tile(embed, (2, 1))
+    specs = pipe.synthesizer.synthesize_spectrograms(
+        texts, embeds, min_stop_token=11, steps=200)
+    l1 = []
+    for spec in specs:
+        spec = np.asarray(spec, np.float32)
+        if spec.shape[0] != pipe.synthesizer.audio_cfg.num_mels:
+            spec = spec.T  # → (M, T)
+        wav = np.asarray(pipe.vocoder.infer_waveform(spec), np.float32)
+        mel2 = np.asarray(melspectrogram(wav, pipe.synthesizer.audio_cfg)).T
+        t = min(spec.shape[1], mel2.shape[1])
+        l1.append(float(np.mean(np.abs(spec[:, :t] - mel2[:, :t]))))
+    return float(np.mean(l1))
+
+
 def bench_tts(reps: int, batch: int):
     """Primary path with per-stage attribution."""
     import jax.numpy as jnp
@@ -119,89 +150,95 @@ def bench_tts(reps: int, batch: int):
     embeds = np.tile(embed, (batch, 1))
     hop = pipe.vocoder.cfg.hop_size
 
-    def staged():
-        """One fenced iteration; returns (times dict, wavs)."""
+    def staged(fmt):
+        """One fenced iteration; returns (times dict, wavs as int16).
+
+        fmt selects the on-device PCM encoding crossing the tunnel:
+        "mulaw8" (1 byte/sample, host LUT-decodes to int16 — counted inside
+        d2h_fetch, it is part of delivering PCM) or "int16"."""
+        from mockingbird_tpu.dsp import decode_mulaw8_to_int16
         t0 = time.time()
         mels_dev, frame_lens = pipe.synthesizer.synthesize_mels_device(
             texts, embeds, min_stop_token=11, steps=steps)
         _fence(frame_lens)
         t1 = time.time()
-        pcm_dev = pipe.vocoder.vocode_device(mels_dev, pcm16=True)
+        pcm_dev = pipe.vocoder.vocode_device(mels_dev, pcm_format=fmt)
         _fence(pcm_dev[0, :1])
         t2 = time.time()
         pcm = np.asarray(pcm_dev)
+        if fmt == "mulaw8":
+            pcm = decode_mulaw8_to_int16(pcm)
         lens = np.asarray(frame_lens)
         t3 = time.time()
         wavs = [pcm[j, : int(lens[j]) * hop] for j in range(batch)]
         return dict(ar_decode=t1 - t0, vocode=t2 - t1, d2h_fetch=t3 - t2,
                     e2e=t3 - t0), wavs
 
-    chunk = int(os.environ.get("MB_BENCH_CHUNK", "32"))
-
-    def pipelined():
-        """The serving path (`pipeline.tts_batch` structure): dispatch every
-        chunk's programs first (JAX dispatch is async), then fetch in order —
-        chunk k+1 computes while chunk k's PCM crosses the link."""
-        t0 = time.time()
-        pending = []
-        for i in range(0, batch, chunk):
-            sub = texts[i : i + chunk]
-            mels_dev, fl = pipe.synthesizer.synthesize_mels_device(
-                sub, embeds[: len(sub)], min_stop_token=11, steps=steps)
-            pcm_dev = pipe.vocoder.vocode_device(mels_dev, pcm16=True)
-            pending.append((len(sub), pcm_dev, fl))
-        wavs = []
-        for n, pcm_dev, fl in pending:
-            pcm = np.asarray(pcm_dev)
-            lens = np.asarray(fl)
-            wavs += [pcm[j, : int(lens[j]) * hop] for j in range(n)]
-        return time.time() - t0, wavs
-
-    _, wavs = staged()      # warm-up (compiles decode + vocode programs)
-    pipelined()             # warm-up (chunk-batch programs)
+    # the d2h PCM fetch dominates e2e on the tunneled host (85%+ of wall,
+    # VERDICT r3 Next #3) — measure BOTH on-device encodings and headline
+    # the winner; both stat blocks land in the JSON
+    fmts = ("mulaw8", "int16")
+    for f in fmts:
+        staged(f)  # warm-up (compiles decode + vocode + encode programs)
 
     stage_names = ("ar_decode", "vocode", "d2h_fetch", "e2e")
-    times = {k: [] for k in stage_names}
-    pipe_times = []
+    times = {f: {k: [] for k in stage_names} for f in fmts}
+    wavs = None
     for _ in range(reps):
-        t, wavs = staged()
-        for k in stage_names:
-            times[k].append(t[k])
-        dt, wavs_p = pipelined()
-        pipe_times.append(dt)
+        for f in fmts:
+            t, w = staged(f)
+            for k in stage_names:
+                times[f][k].append(t[k])
+            if f == "mulaw8":
+                wavs = w  # gate checks run on the headline-format audio
 
     audio_seconds = sum(len(w) for w in wavs) / SR
-    # headline = the staged single-batch path (decode → vocode → one fetch);
-    # measured on-chip, chunked dispatch+fetch overlap (rtf_pipelined) does
-    # NOT beat it — the tunnel does not overlap transfers with dispatch well,
-    # and per-chunk latency costs more than the hidden compute (~0.2 s)
-    rtfs = [audio_seconds / t for t in times["e2e"]]
-    pipelined_rtfs = [audio_seconds / t for t in pipe_times]
+    rtf_by_fmt = {f: _stats([audio_seconds / t for t in times[f]["e2e"]])
+                  for f in fmts}
+    fmt = max(fmts, key=lambda f: rtf_by_fmt[f]["median"])
+    rtf_stats = rtf_by_fmt[fmt]
     # what the chip itself sustains (decode+vocode, no host link): the number
     # that matters on pods with local PCIe/DMA instead of this tunnel
-    compute_rtf = audio_seconds / (float(np.median(times["ar_decode"]))
-                                   + float(np.median(times["vocode"])))
-    rms, centroid = audio_sanity(wavs)
-    if trained:
-        gate = "pass" if (rms > 100 and 150 < centroid < 6000) else "fail"
-    else:
-        gate = "untrained"
+    compute_rtf = audio_seconds / (float(np.median(times[fmt]["ar_decode"]))
+                                   + float(np.median(times[fmt]["vocode"])))
 
-    rtf_stats = _stats(rtfs)
+    # quality gate (VERDICT r3 Weak #2 / Next #2): "pass" requires EVERY
+    # benched stage trained AND audio sanity AND the vocoder to actually
+    # reconstruct its conditioning mel. Any untrained benched stage caps the
+    # gate at "degraded" — never "pass".
+    rms, centroid = audio_sanity(wavs)
+    sanity_ok = rms > 100 and 150 < centroid < 6000
+    voc_fid = None
+    if trained_stages["vocoder"]:
+        voc_fid = vocoder_fidelity_l1(pipe, embed)
+    if not trained:
+        gate = "untrained"
+    elif not all(trained_stages.values()):
+        gate = "degraded"
+    # threshold calibrated on-chip (r4): GTA-fine-tuned export 0.27,
+    # random-weight generator 1.02 — 0.6 splits them with margin both ways
+    elif sanity_ok and voc_fid is not None and voc_fid < 0.6:
+        gate = "pass"
+    else:
+        gate = "fail"
+
     return dict(
         value=rtf_stats["median"],
         rtf_median=rtf_stats["median"], rtf_min=rtf_stats["min"],
         rtf_max=rtf_stats["max"], rtf_raw=rtf_stats["raw"],
-        rtf_pipelined=_stats(pipelined_rtfs),
+        pcm_format=fmt,
+        rtf_by_pcm_format={f: rtf_by_fmt[f] for f in fmts},
         compute_rtf=round(compute_rtf, 1),
-        reps=reps, batch=batch, chunk=chunk,
+        reps=reps, batch=batch,
         audio_seconds=round(audio_seconds, 2),
-        stages_s={k: _stats(times[k]) for k in stage_names},
+        stages_s={k: _stats(times[fmt][k]) for k in stage_names},
+        d2h_fetch_int16_s=_stats(times["int16"]["d2h_fetch"]),
         embed_cold_s=round(embed_cold, 3), embed_warm_s=round(embed_warm, 3),
         weights="trained" if trained else "random",
         trained_stages=trained_stages,
         quality_gate=gate, audio_rms=round(rms, 1),
         spectral_centroid_hz=round(centroid, 1),
+        vocoder_mel_recon_l1=None if voc_fid is None else round(voc_fid, 3),
     )
 
 
@@ -332,6 +369,9 @@ def main():
     batch = int(os.environ.get("MB_BENCH_BATCH", "128"))
     paths = os.environ.get("MB_BENCH_PATHS", "all")
     budget = float(os.environ.get("MB_BENCH_BUDGET_S", "2700"))
+    # --strict / MB_BENCH_STRICT=1: exit nonzero unless the gate is "pass"
+    # (a driver can refuse to record a bench that ran degraded/untrained)
+    strict = "--strict" in sys.argv or os.environ.get("MB_BENCH_STRICT") == "1"
     t_start = time.time()
 
     primary = bench_tts(reps, batch)
@@ -359,6 +399,8 @@ def main():
         out["extra"] = extras
 
     print(json.dumps(out))
+    if strict:
+        return 0 if out.get("quality_gate") == "pass" else 1
     return 0 if out.get("quality_gate") != "fail" else 1
 
 

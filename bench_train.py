@@ -82,7 +82,7 @@ def _mfu_fields(flops, dt):
             "mfu_pct_v5e_bf16": round(100.0 * flops / dt / PEAK_FLOPS["v5e"], 2)}
 
 
-def bench_tacotron(precision="fp32"):
+def bench_tacotron(precision="fp32", batch=12):
     import jax, jax.numpy as jnp, optax
     from mockingbird_tpu.models.tacotron.model import init_tacotron, tacotron_config
     from mockingbird_tpu.models.tacotron.train import make_train_step
@@ -92,7 +92,7 @@ def bench_tacotron(precision="fp32"):
     params, stats = variables["params"], variables["batch_stats"]
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
     opt = tx.init(params)
-    B, T_TXT, T_MEL, R = 12, 160, 400, 2  # reference schedule batch 12, r=2
+    B, T_TXT, T_MEL, R = batch, 160, 400, 2  # reference schedule batch 12, r=2
     step = make_train_step(model, tx, R, precision)
 
     rng = np.random.RandomState(0)
@@ -117,7 +117,7 @@ def bench_tacotron(precision="fp32"):
         ("postnet|post_proj", T_MEL),
         ("encoder|gst", T_TXT)], B)
     return {"metric": "tacotron_train_step", "value": round(dt * 1e3, 1),
-            "unit": f"ms/step@batch12/{precision}", **_mfu_fields(flops, dt)}
+            "unit": f"ms/step@batch{B}/{precision}", **_mfu_fields(flops, dt)}
 
 
 def bench_vits(precision="fp32"):
@@ -210,7 +210,7 @@ def bench_hifigan(precision="fp32"):
             "unit": f"ms/step@batch16/{precision}", **_mfu_fields(flops, dt)}
 
 
-def bench_encoder(precision="fp32"):
+def bench_encoder(precision="fp32", speakers=64):
     import jax, jax.numpy as jnp, optax
     from mockingbird_tpu.models.encoder.model import SpeakerEncoder, init_params
     from mockingbird_tpu.models.encoder.train import make_train_step
@@ -219,8 +219,8 @@ def bench_encoder(precision="fp32"):
     params = init_params(jax.random.PRNGKey(0))
     tx = optax.chain(optax.clip_by_global_norm(3.0), optax.adam(1e-4))
     opt = tx.init(params)
-    step = make_train_step(model, tx, 64, 10, precision)
-    batch = jnp.asarray(np.random.RandomState(0).randn(64, 10, 160, 40),
+    step = make_train_step(model, tx, speakers, 10, precision)
+    batch = jnp.asarray(np.random.RandomState(0).randn(speakers, 10, 160, 40),
                         jnp.float32)
 
     def run(state):
@@ -230,9 +230,9 @@ def bench_encoder(precision="fp32"):
         return p, o
 
     dt = _best(run)
-    flops = _analytic_flops(params["model"], [("lstm", 160)], 64 * 10)
+    flops = _analytic_flops(params["model"], [("lstm", 160)], speakers * 10)
     return {"metric": "ge2e_train_step", "value": round(dt * 1e3, 1),
-            "unit": f"ms/step@64x10/{precision}", **_mfu_fields(flops, dt)}
+            "unit": f"ms/step@{speakers}x10/{precision}", **_mfu_fields(flops, dt)}
 
 
 def bench_fregan(precision="fp32"):
@@ -278,7 +278,7 @@ def bench_fregan(precision="fp32"):
             "unit": f"ms/step@batch16/{precision}", **_mfu_fields(flops, dt)}
 
 
-def bench_ppg(precision="fp32"):
+def bench_ppg(precision="fp32", batch=8):
     """ppg2mel VC train step (Conformer memory pre-encoded: the step covers
     the MOL-attention AR decoder teacher-forced scan + postnet fwd+bwd)."""
     import jax, jax.numpy as jnp, optax
@@ -292,7 +292,7 @@ def bench_ppg(precision="fp32"):
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(5e-4))
     opt = tx.init(params)
     step = make_vc_step(model, tx, precision)
-    B, T = 8, 400
+    B, T = batch, 400
     rng = np.random.RandomState(0)
     batch = dict(
         ppgs=jnp.asarray(rng.randn(B, T, cfg.bottle_neck_feature_dim), jnp.float32),
@@ -316,7 +316,7 @@ def bench_ppg(precision="fp32"):
         ("decoder", T // cfg.frames_per_step),
         ("postnet|prenet|pitch|reduce", T)], B)
     return {"metric": "ppg2mel_train_step", "value": round(dt * 1e3, 1),
-            "unit": f"ms/step@batch8x400/{precision}", **_mfu_fields(flops, dt)}
+            "unit": f"ms/step@batch{B}x400/{precision}", **_mfu_fields(flops, dt)}
 
 
 def bench_wavernn(precision="fp32"):
@@ -366,12 +366,35 @@ BENCHES = {"tacotron": bench_tacotron, "vits": bench_vits,
            "wavernn": bench_wavernn}
 
 
+# Batch-scaled MFU sweep (VERDICT r3 Next #4): the three scan-dominated
+# families at the reference batch and 4×/16× it. Each point is an
+# independent measurement of the SAME jitted step at a bigger batch; if the
+# "latency-bound" claim holds, ms/step stays ~flat while MFU scales ~B.
+SCALED = {
+    "tacotron": (bench_tacotron, (12, 48, 192)),
+    "encoder": (lambda p, b: bench_encoder(p, speakers=b), (64, 256, 1024)),
+    "ppg": (bench_ppg, (8, 32, 128)),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families",
                     default="tacotron,vits,hifigan,fregan,encoder,ppg,wavernn")
     ap.add_argument("--precision", default="bf16", choices=("fp32", "bf16"))
+    ap.add_argument("--batch_scale", action="store_true",
+                    help="sweep the scan-bound families over 1x/4x/16x the "
+                         "reference batch (one JSON line per point)")
     args = ap.parse_args()
+    if args.batch_scale:
+        for fam in args.families.split(","):
+            fam = fam.strip()
+            if fam not in SCALED:
+                continue
+            fn, batches = SCALED[fam]
+            for b in batches:
+                print(json.dumps(fn(args.precision, b)), flush=True)
+        return
     for fam in args.families.split(","):
         print(json.dumps(BENCHES[fam.strip()](args.precision)), flush=True)
 

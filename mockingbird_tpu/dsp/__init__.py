@@ -11,4 +11,5 @@ from .audio import (  # noqa: F401
     load_wav, save_wav, resample, normalize_volume, rescale_peak,
     preemphasis_np, inv_preemphasis_np, trim_long_silences, preprocess_wav,
 )
-from .mulaw import encode_mu_law, decode_mu_law, label_2_float, float_2_label  # noqa: F401
+from .mulaw import (encode_mu_law, decode_mu_law, label_2_float,  # noqa: F401
+                    float_2_label, encode_mulaw8_device, decode_mulaw8_to_int16)

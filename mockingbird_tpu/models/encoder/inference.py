@@ -64,7 +64,10 @@ class SpeakerEncoderInference:
         self.model = SpeakerEncoder()
         if params is None:
             params = init_params(jax.random.PRNGKey(seed))
-        self.params = params["model"] if "model" in params else params
+        params = params["model"] if "model" in params else params
+        # exports load as host numpy (`load_single`); keep weights on-device
+        # so the jitted forward doesn't re-transfer them every call
+        self.params = jax.tree.map(jnp.asarray, params)
 
         @jax.jit
         def _forward(p, frames):

@@ -83,6 +83,18 @@ class GanVocoder:
             return jnp.round(jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
         self._fwd_pcm16 = _fwd_pcm16
 
+        @functools.partial(jax.jit)
+        def _fwd_mulaw8(p, mel):
+            if half:
+                mel = mel.astype(jnp.bfloat16)
+            wav = self.model.apply({"params": p}, mel).astype(jnp.float32)
+            # 8-bit mu-law on-device: one byte/sample (4× smaller than f32,
+            # 2× smaller than int16) across the device→host link; host
+            # decodes with a 256-entry LUT (`dsp.decode_mulaw8_to_int16`)
+            from mockingbird_tpu.dsp import encode_mulaw8_device
+            return encode_mulaw8_device(wav)
+        self._fwd_mulaw8 = _fwd_mulaw8
+
     def infer_waveform(self, mel: np.ndarray) -> np.ndarray:
         """mel (M, T) reference layout (synthesizer output) → wav float32.
 
@@ -113,11 +125,17 @@ class GanVocoder:
         wavs = np.asarray(self._fwd(self._params_c, jnp.asarray(batch)))
         return [wavs[i, : lengths[i] * self.cfg.hop_size] for i in range(len(mels))]
 
-    def vocode_device(self, mel_dev, pcm16: bool = True):
+    def vocode_device(self, mel_dev, pcm16: bool = True, pcm_format: str = None):
         """Fused-pipeline entry: device-resident mel (B, T, M) → device wav
-        (B, T*hop) — int16 PCM (default) or float32. No host round-trip: the
-        synthesizer's on-chip mel feeds the generator directly."""
-        fn = self._fwd_pcm16 if pcm16 else self._fwd
+        (B, T*hop). `pcm_format` selects the on-device output encoding:
+        "int16" (default), "mulaw8" (1 byte/sample — halves the d2h
+        transfer; decode host-side with `dsp.decode_mulaw8_to_int16`) or
+        "float32". No host round-trip: the synthesizer's on-chip mel feeds
+        the generator directly. `pcm16` kept for back-compat."""
+        if pcm_format is None:
+            pcm_format = "int16" if pcm16 else "float32"
+        fn = {"int16": self._fwd_pcm16, "mulaw8": self._fwd_mulaw8,
+              "float32": self._fwd}[pcm_format]
         return fn(self._params_c, mel_dev)
 
 

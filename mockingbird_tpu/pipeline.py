@@ -83,16 +83,18 @@ class VoiceCloningPipeline:
                   style_idx: int = 0, min_stop_token: int = 5,
                   steps: int = 1000, batch_size: int = 32,
                   source_sr: Optional[int] = None,
-                  pcm16: bool = True,
+                  pcm16: bool = True, pcm_format: Optional[str] = None,
                   embed: Optional[np.ndarray] = None) -> List[np.ndarray]:
         """Fused on-device TTS: text → mel → waveform without any host
-        round-trip between stages; one int16-PCM transfer per batch.
+        round-trip between stages; one quantised-PCM transfer per batch.
 
         This is the throughput path (serving / bench): on tunneled TPU hosts
         the device↔host link, not compute, bounds e2e RTF, so the pipeline
-        keeps the mel on-chip and ships only quantised PCM. Falls back to the
-        staged path for non-GAN vocoders. Returns per-text int16 (or float32)
-        waveforms trimmed at each utterance's stop token."""
+        keeps the mel on-chip and ships only quantised PCM. `pcm_format`
+        "mulaw8" halves the transfer again (1 byte/sample on the wire,
+        LUT-decoded to int16 on host). Falls back to the staged path for
+        non-GAN vocoders. Returns per-text int16 (or float32) waveforms
+        trimmed at each utterance's stop token."""
         if isinstance(texts, str):
             texts = [texts]
         if not (self.synthesizer_kind == "tacotron"
@@ -113,11 +115,15 @@ class VoiceCloningPipeline:
             mels_dev, frame_lens = self.synthesizer.synthesize_mels_device(
                 chunk, embeds, style_idx=style_idx,
                 min_stop_token=min_stop_token, steps=steps)
-            pcm_dev = self.vocoder.vocode_device(mels_dev, pcm16=pcm16)
+            pcm_dev = self.vocoder.vocode_device(mels_dev, pcm16=pcm16,
+                                                 pcm_format=pcm_format)
             pending.append((len(chunk), pcm_dev, frame_lens))
         wavs: List[np.ndarray] = []
         for n, pcm_dev, frame_lens in pending:
             pcm = np.asarray(pcm_dev)          # single D2H per chunk
+            if pcm_format == "mulaw8":
+                from .dsp import decode_mulaw8_to_int16
+                pcm = decode_mulaw8_to_int16(pcm)
             lens = np.asarray(frame_lens)
             for j in range(n):
                 wavs.append(pcm[j, : int(lens[j]) * hop])

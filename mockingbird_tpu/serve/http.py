@@ -143,7 +143,10 @@ def make_handler(toolbox: WebToolbox, jobs: _Jobs):
             for i, chunk in enumerate(chunks):
                 # embed short-circuits the fused path; ref_wav covers the
                 # staged fallback (e.g. a VITS pipeline)
-                pcm = pipe.tts_batch([chunk], ref_wav, embed=embed)[0]
+                # mulaw8 on the device→host wire (half the bytes on the
+                # tunnel-bound link); the client still receives int16 WAV
+                pcm = pipe.tts_batch([chunk], ref_wav, embed=embed,
+                                     pcm_format="mulaw8")[0]
                 if pcm.dtype != np.int16:  # non-fused fallback (e.g. VITS)
                     pcm = np.round(np.clip(pcm, -1, 1) * 32767).astype(np.int16)
                 self.wfile.write(pcm.tobytes())

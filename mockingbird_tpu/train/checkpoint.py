@@ -54,6 +54,16 @@ class CheckpointManager:
     def restore(self, step: int, template: Any) -> Any:
         return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
 
+    def restore_latest_raw(self) -> tuple[Optional[int], Any]:
+        """Restore the newest checkpoint without a structure template
+        (numpy arrays, saved structure) — for consumers that only need a
+        subtree of what the trainer saved (e.g. exporting inference weights
+        from a best-loss checkpoint that also holds optimizer state)."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None, None
+        return step, self._mgr.restore(step, args=ocp.args.StandardRestore())
+
     def close(self):
         self._mgr.close()
 
@@ -68,6 +78,20 @@ def save_single(path, state: Any) -> None:
 
 
 def load_single(path, template: Any = None) -> Any:
+    """Load an exported pytree. Without a template, arrays come back as
+    host numpy regardless of the devices the checkpoint was SAVED on —
+    an export written on a TPU must load on a CPU-only box (tests, tooling)
+    where orbax's default sharding-aware restore would fail with
+    "Device TPU ... was not found". Callers move leaves on-device
+    themselves (`jax.tree.map(jnp.asarray, ...)`)."""
     path = Path(path).absolute()
-    with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(path, template) if template is not None else ckptr.restore(path)
+    if template is not None:
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(path, template)
+    import numpy as np
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(path).item_metadata
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        restore_args = jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        return ckptr.restore(path, restore_args=restore_args)

@@ -39,15 +39,33 @@ import numpy as np
 from attention_run import SYLLABLES  # noqa: E402  (same toy syllable set)
 
 
-def speaker_voice(rng: np.random.RandomState) -> dict:
-    """A random but fixed per-speaker timbre."""
+def speaker_voice(rng: np.random.RandomState, proto: dict = None) -> dict:
+    """A random but fixed per-speaker timbre.
+
+    With ``proto`` (a cluster prototype), the speaker is a CONFUSABLE
+    perturbation of it: shared f0 range (±3%), a shared harmonic template
+    with mild per-speaker deviation, nearby vibrato — so same/different
+    pairs within a cluster genuinely overlap and the held-out EER lands
+    above zero with a meaningful trajectory (VERDICT r3 Weak #6: 24
+    deliberately well-separated timbres made the 0.000 headline
+    uninformative). Without ``proto``, the legacy well-separated draw."""
+    if proto is None:
+        return dict(
+            base_f0=float(rng.uniform(95.0, 285.0)),
+            # harmonic weights = the speaker's "formant" signature
+            harmonics=rng.dirichlet(np.ones(8) * 0.6) * 1.5,
+            vibrato_hz=float(rng.uniform(3.0, 7.0)),
+            vibrato_depth=float(rng.uniform(0.0, 0.02)),
+            breath=float(rng.uniform(0.001, 0.006)),
+        )
+    h = proto["harmonics"] * (1.0 + rng.uniform(-0.18, 0.18, 8))
     return dict(
-        base_f0=float(rng.uniform(95.0, 285.0)),
-        # harmonic weights = the speaker's "formant" signature
-        harmonics=rng.dirichlet(np.ones(8) * 0.6) * 1.5,
-        vibrato_hz=float(rng.uniform(3.0, 7.0)),
-        vibrato_depth=float(rng.uniform(0.0, 0.02)),
-        breath=float(rng.uniform(0.001, 0.006)),
+        base_f0=proto["base_f0"] * float(1.0 + rng.uniform(-0.03, 0.03)),
+        harmonics=np.clip(h, 1e-3, None),
+        vibrato_hz=proto["vibrato_hz"] + float(rng.uniform(-0.6, 0.6)),
+        vibrato_depth=float(np.clip(proto["vibrato_depth"]
+                                    + rng.uniform(-0.004, 0.004), 0.0, 0.03)),
+        breath=proto["breath"],
     )
 
 
@@ -89,12 +107,21 @@ def utterance_audio(voice: dict, syls: list, sr: int,
 
 
 def make_speaker_corpus(root: Path, n_speakers: int, utts_train: int,
-                        utts_eval: int, seed: int = 0):
-    """aidatatang-style layout under root/{train,eval}; returns both roots."""
+                        utts_eval: int, seed: int = 0,
+                        cluster_size: int = 4):
+    """aidatatang-style layout under root/{train,eval}; returns both roots.
+
+    ``cluster_size`` > 1 groups speakers into confusable clusters (shared f0
+    range + harmonic template, see `speaker_voice`); 1 reverts to the legacy
+    well-separated timbres."""
     from scipy.io import wavfile
 
     sr = 16000
     master = np.random.RandomState(seed)
+    protos = {}
+    if cluster_size > 1:
+        for c in range((n_speakers + cluster_size - 1) // cluster_size):
+            protos[c] = speaker_voice(np.random.RandomState(seed + 5000 + c))
     roots = {}
     for split, n_utts, off in (("train", utts_train, 0),
                                ("eval", utts_eval, 10_000)):
@@ -103,7 +130,9 @@ def make_speaker_corpus(root: Path, n_speakers: int, utts_train: int,
         roots[split] = root / split
         for s in range(n_speakers):
             voice_rng = np.random.RandomState(seed + 1000 + s)
-            voice = speaker_voice(voice_rng)
+            voice = speaker_voice(voice_rng,
+                                  protos.get(s // cluster_size)
+                                  if cluster_size > 1 else None)
             spk = f"G{s:04d}"
             spk_dir = ds / "corpus" / "train" / spk
             spk_dir.mkdir(parents=True, exist_ok=True)
@@ -159,8 +188,11 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--phase_steps", type=int, default=250)
     ap.add_argument("--n_speakers", type=int, default=24)
+    ap.add_argument("--cluster_size", type=int, default=4,
+                    help="speakers per confusable cluster (1 = legacy "
+                         "well-separated timbres)")
     ap.add_argument("--utts_train", type=int, default=20)
-    ap.add_argument("--utts_eval", type=int, default=4)
+    ap.add_argument("--utts_eval", type=int, default=6)
     ap.add_argument("--speakers_per_batch", type=int, default=16)
     ap.add_argument("--utterances_per_speaker", type=int, default=8)
     ap.add_argument("--precision", default="bf16")
@@ -173,7 +205,8 @@ def main():
     if not args.skip_data and not eval_proc.exists():
         print("== generating multi-speaker corpus ==", flush=True)
         train_root, eval_root = make_speaker_corpus(
-            out / "corpus", args.n_speakers, args.utts_train, args.utts_eval)
+            out / "corpus", args.n_speakers, args.utts_train, args.utts_eval,
+            cluster_size=args.cluster_size)
         print("== encoder preprocess (train + held-out) ==", flush=True)
         from mockingbird_tpu.models.encoder.preprocess import (
             preprocess_aidatatang_200zh)

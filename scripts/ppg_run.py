@@ -106,9 +106,19 @@ def main():
     print(f"dev masked-mel MSE after {args.steps} steps: {loss_after:.4f} "
           f"({train_s:.0f}s)", flush=True)
 
+    # export the BEST-dev-loss weights, the reference's acceptance signal
+    # (`train_linglf02mel_seq2seq_oneshotvc.py:242-245` keeps best_av, not
+    # the final step); fall back to final-step weights if no dev validation
+    # ever ran (e.g. --steps below val_every)
+    from mockingbird_tpu.train.checkpoint import CheckpointManager
+    export_params, export_bs = state["params"], state["batch_stats"]
+    best_mgr = CheckpointManager(run_dir / "ckpt_ppg2mel_best")
+    best_step, best = best_mgr.restore_latest_raw()
+    if best_step is not None:
+        export_params, export_bs = best["params"], best["batch_stats"]
+        print(f"exporting best-dev-loss weights (step {best_step})", flush=True)
     exp = run_dir / "ppg2mel.ckpt"
-    save_single(exp, {"params": state["params"],
-                      "batch_stats": state["batch_stats"]})
+    save_single(exp, {"params": export_params, "batch_stats": export_bs})
     cfg.to_json(exp.with_suffix(".json"))
     print("exported:", exp, flush=True)
 
@@ -121,8 +131,12 @@ def main():
     src_fid = next((f for f in eval_fids if "G0001" in f), eval_fids[0])
     ref_fid = next(f for f in (vc_dir / "train_fidlist.txt").read_text().split()
                    if "G0002" in f)
-    src_wav = next(corpus.glob(f"**/{src_fid}.wav"))
-    ref_wav = next(corpus.glob(f"**/{ref_fid}.wav"))
+    src_wav = next(corpus.glob(f"**/{src_fid}.wav"), None)
+    ref_wav = next(corpus.glob(f"**/{ref_fid}.wav"), None)
+    if src_wav is None or ref_wav is None:
+        sys.exit(f"corpus wavs for {src_fid}/{ref_fid} not found under {corpus} "
+                 "— with --skip_data the corpus dir must still hold the "
+                 "original wavs for the held-out conversion demo")
     vc = VoiceConverter(exp, verbose=False)
     vc.set_reference(ref_wav)
     from mockingbird_tpu.dsp import load_wav

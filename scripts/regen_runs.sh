@@ -16,4 +16,7 @@ echo "gan_run rc=$?"
 python scripts/vits_run.py --steps 3000 \
   > /tmp/regen_logs/vits.log 2>&1
 echo "vits_run rc=$?"
+python scripts/ppg_run.py --steps 2000 \
+  > /tmp/regen_logs/ppg.log 2>&1
+echo "ppg_run rc=$?"
 ls -la /root/repo/saved_models/*/ 2>&1

@@ -1,0 +1,50 @@
+"""Trained-artifact presence tests (fast tier — runs on every `pytest`).
+
+Round 3 lost its trained exports to a machine wipe and the bench silently
+degraded to random weights (VERDICT r3: "nothing in the test suite asserts
+the exports exist, so the degradation is invisible"). These tests make the
+absence LOUD: if any of the five families' inference exports is missing or
+unloadable, the suite goes red — not just a quietly-worse BENCH json.
+
+The exports are produced by scripts/{attention,encoder,gan,vits,ppg}_run.py
+(scripts/regen_runs.sh regenerates all five) and are tracked in git.
+Reference parity: the reference's end state is a trained checkpoint per
+family that its inference wrappers load
+(`/root/reference/models/synthesizer/inference.py:46`,
+`/root/reference/models/vocoder/hifigan/inference.py:22`,
+`/root/reference/models/ppg2mel/__init__.py:195`).
+"""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+SAVED = Path(__file__).resolve().parent.parent / "saved_models"
+
+EXPORTS = {
+    "tacotron": SAVED / "attention_run" / "synthesizer.ckpt",
+    "encoder": SAVED / "encoder_run" / "encoder.ckpt",
+    "vocoder_hifigan": SAVED / "gan_run" / "vocoder_hifigan.ckpt",
+    "vits": SAVED / "vits_run" / "synthesizer_vits.ckpt",
+    "ppg2mel": SAVED / "ppg_run" / "ppg2mel.ckpt",
+}
+
+
+@pytest.mark.parametrize("family", sorted(EXPORTS))
+def test_trained_export_exists_and_loads(family):
+    path = EXPORTS[family]
+    assert path.exists(), (
+        f"{family} inference export missing at {path} — regenerate with "
+        "scripts/regen_runs.sh (bench.py will report quality_gate=degraded "
+        "until it exists)")
+    from mockingbird_tpu.train.checkpoint import load_single
+    tree = load_single(path)
+    leaves = [x for x in _leaves(tree) if hasattr(x, "dtype")]
+    assert leaves, f"{family} export at {path} holds no arrays"
+    sample = np.asarray(leaves[0]).ravel()[:64]
+    assert np.all(np.isfinite(sample)), f"{family} export has non-finite weights"
+
+
+def _leaves(tree):
+    import jax
+    return jax.tree.leaves(tree)

@@ -164,6 +164,27 @@ def test_mulaw_roundtrip():
     np.testing.assert_allclose(dec[mid], x[mid], atol=1e-3)
 
 
+def test_mulaw8_device_roundtrip():
+    """On-device 8-bit mu-law PCM (the halved-d2h serving encoding) must
+    round-trip through the host LUT at telephony quality (≳30 dB SNR on a
+    speech-band tone) and exactly match the generic mu-law math."""
+    import jax.numpy as jnp
+    t = np.arange(5000) / 16000
+    wav = (0.7 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    u8 = np.asarray(dsp.encode_mulaw8_device(jnp.asarray(wav)))
+    assert u8.dtype == np.uint8
+    pcm = dsp.decode_mulaw8_to_int16(u8)
+    assert pcm.dtype == np.int16
+    rec = pcm.astype(np.float64) / 32767.0
+    snr = 10 * np.log10((wav.astype(np.float64) ** 2).mean()
+                        / ((rec - wav) ** 2).mean())
+    assert snr > 30.0, snr
+    # consistency with the reference-parity mu-law helpers (±1 label:
+    # device f32 vs host f64 rounding at bin boundaries)
+    ref = np.asarray(dsp.encode_mu_law(np.clip(wav, -1, 1), 256))
+    assert np.abs(u8.astype(np.int32) - ref).max() <= 1
+
+
 def test_volume_normalize():
     rng = np.random.RandomState(0)
     wav = rng.randn(16000).astype(np.float32) * 0.001
