@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...config import Config, encoder_audio_config, sv2tts_audio_config
-from ...dsp import load_wav, melspectrogram, preprocess_wav, save_wav
+from ...dsp import (load_wav, melspectrogram_bucketed, preprocess_wav,
+                    save_wav)
 from ...dsp.f0 import (compute_f0, compute_mean_std, f02lf0, get_cont_lf0,
                        get_converted_lf0uv)
 from ...train.checkpoint import load_single
@@ -181,7 +182,10 @@ def preprocess_vc_dataset(wav_dir: Path, out_dir: Path,
         uv, cont_lf0 = get_cont_lf0(f0)
         lf0_uv = np.stack([cont_lf0, uv], axis=1).astype(np.float32)
         embed = encoder.embed_utterance(preprocess_wav(wav, ecfg))
-        mel = np.asarray(melspectrogram(jnp.asarray(wav), audio_cfg), np.float32)
+        # bucketed mel: arbitrary utterance lengths must not trigger a
+        # per-length XLA compile on the TPU backend (melspectrogram_bucketed
+        # is bit-identical to melspectrogram, one compile per ~1 s bucket)
+        mel = np.asarray(melspectrogram_bucketed(wav, audio_cfg), np.float32)
         np.save(out_dir / "bnf" / f"{fid}.npy", ppg)
         np.save(out_dir / "f0" / f"{fid}.npy", lf0_uv)
         np.save(out_dir / "embed" / f"{fid}.npy", embed)
