@@ -120,7 +120,19 @@ def main():
     ap.add_argument("--eval_every", type=int, default=250)
     ap.add_argument("--skip_data", action="store_true",
                     help="reuse an existing preprocessed dir")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep existing trainer state (default wipes it so a "
+                         "regen run cannot silently resume a previous run's "
+                         "checkpoint and report a bogus trajectory)")
     args = ap.parse_args()
+
+    if not args.resume:
+        import shutil
+        for stale in (args.models_dir / "attention_run" / "ckpt",
+                      args.models_dir / "attention_run" / "logs"):
+            if stale.exists():
+                print(f"wiping stale trainer state: {stale}", flush=True)
+                shutil.rmtree(stale)
 
     out = args.out
     syn = out / "syn"

@@ -58,14 +58,14 @@ def speaker_voice(rng: np.random.RandomState, proto: dict = None) -> dict:
             vibrato_depth=float(rng.uniform(0.0, 0.02)),
             breath=float(rng.uniform(0.001, 0.006)),
         )
-    h = proto["harmonics"] * (1.0 + rng.uniform(-0.18, 0.18, 8))
+    h = proto["harmonics"] * (1.0 + rng.uniform(-0.10, 0.10, 8))
     return dict(
-        base_f0=proto["base_f0"] * float(1.0 + rng.uniform(-0.03, 0.03)),
+        base_f0=proto["base_f0"] * float(1.0 + rng.uniform(-0.02, 0.02)),
         harmonics=np.clip(h, 1e-3, None),
-        vibrato_hz=proto["vibrato_hz"] + float(rng.uniform(-0.6, 0.6)),
+        vibrato_hz=proto["vibrato_hz"] + float(rng.uniform(-0.4, 0.4)),
         vibrato_depth=float(np.clip(proto["vibrato_depth"]
-                                    + rng.uniform(-0.004, 0.004), 0.0, 0.03)),
-        breath=proto["breath"],
+                                    + rng.uniform(-0.003, 0.003), 0.0, 0.03)),
+        breath=proto["breath"] * float(rng.uniform(1.0, 2.5)),
     )
 
 
@@ -188,7 +188,7 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--phase_steps", type=int, default=250)
     ap.add_argument("--n_speakers", type=int, default=24)
-    ap.add_argument("--cluster_size", type=int, default=4,
+    ap.add_argument("--cluster_size", type=int, default=6,
                     help="speakers per confusable cluster (1 = legacy "
                          "well-separated timbres)")
     ap.add_argument("--utts_train", type=int, default=20)
@@ -197,6 +197,13 @@ def main():
     ap.add_argument("--utterances_per_speaker", type=int, default=8)
     ap.add_argument("--precision", default="bf16")
     ap.add_argument("--skip_data", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep existing trainer state in saved_models/"
+                         "encoder_run/ckpt. Default wipes it: phased "
+                         "resume-from-checkpoint must not silently pick up a "
+                         "PREVIOUS run's weights (each phase would then do "
+                         "one step from stale state and the EER trajectory "
+                         "would be meaningless)")
     args = ap.parse_args()
 
     out = args.out
@@ -219,6 +226,12 @@ def main():
 
     run_dir = args.models_dir / "encoder_run"
     run_dir.mkdir(parents=True, exist_ok=True)
+    if not args.resume:
+        import shutil
+        for stale in (run_dir / "ckpt", run_dir / "logs", run_dir / "umap"):
+            if stale.exists():
+                print(f"wiping stale trainer state: {stale}", flush=True)
+                shutil.rmtree(stale)
     eval_mels = eval_proc
 
     print("== training (phased, resume-from-checkpoint) ==", flush=True)

@@ -64,7 +64,19 @@ def main():
                          "fine-tune flow (`synthesize.py:12-96` + hifigan "
                          "fine_tuning). Uses a hop-256 upsample stack so "
                          "SV2TTS mel frames align exactly with audio.")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep existing trainer state (default wipes it so a "
+                         "regen run cannot silently resume a previous run's "
+                         "checkpoint and report a bogus trajectory)")
     args = ap.parse_args()
+
+    if not args.resume:
+        import shutil
+        for stale in (args.models_dir / "gan_run" / f"ckpt_{args.arch}",
+                      args.models_dir / "gan_run" / f"logs_{args.arch}"):
+            if stale.exists():
+                print(f"wiping stale trainer state: {stale}", flush=True)
+                shutil.rmtree(stale)
 
     out = args.out
     syn = out / "syn"

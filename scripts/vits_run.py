@@ -78,7 +78,19 @@ def main():
     ap.add_argument("--skip_data", action="store_true")
     ap.add_argument("--small", action="store_true",
                     help="tiny model (CPU smoke of the script logic)")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep existing trainer state (default wipes it so a "
+                         "regen run cannot silently resume a previous run's "
+                         "checkpoint and report a bogus trajectory)")
     args = ap.parse_args()
+
+    if not args.resume:
+        import shutil
+        for stale in (args.models_dir / "vits_run" / "ckpt_vits",
+                      args.models_dir / "vits_run" / "logs_vits"):
+            if stale.exists():
+                print(f"wiping stale trainer state: {stale}", flush=True)
+                shutil.rmtree(stale)
 
     out = args.out
     syn = out / "syn"
