@@ -88,6 +88,11 @@ def bench_tacotron(precision="fp32", batch=12):
     from mockingbird_tpu.models.tacotron.train import make_train_step
 
     cfg = tacotron_config()
+    if batch >= 96:
+        # the full-activation scan OOMs 16 GB HBM past ~batch 96 (the LSA
+        # location-conv features are S·B·T_text·128 floats); remat trades
+        # ~1/3 extra decoder flops for S× less activation memory
+        cfg = cfg.merge(dict(remat_decoder=True))
     model, variables = init_tacotron(jax.random.PRNGKey(0), cfg)
     params, stats = variables["params"], variables["batch_stats"]
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
@@ -169,7 +174,7 @@ def bench_vits(precision="fp32"):
             "unit": f"ms/step@batch16/{precision}", **_mfu_fields(flops, dt)}
 
 
-def bench_hifigan(precision="fp32"):
+def bench_hifigan(precision="fp32", batch=16):
     import jax, jax.numpy as jnp, optax
     from mockingbird_tpu.config import Config
     from mockingbird_tpu.models.vocoder.hifigan import (init_discriminators,
@@ -188,7 +193,7 @@ def bench_hifigan(precision="fp32"):
     tx_d = optax.adamw(2e-4, b1=0.8, b2=0.99)
     g_opt, d_opt = tx_g.init(g_params), tx_d.init(d_vars["params"])
     step = make_gan_step(gen, disc, tx_g, tx_d, cfg, precision)
-    B = 16
+    B = batch
     rng = np.random.RandomState(0)
     batch = dict(
         mels=jnp.asarray(rng.randn(B, cfg.segment_size // cfg.hop_size, 80),
@@ -207,7 +212,7 @@ def bench_hifigan(precision="fp32"):
     dt = _best(run)
     flops = _flops_of(step, g_params, d_vars, g_opt, d_opt, batch, 1, True)
     return {"metric": "hifigan_train_step", "value": round(dt * 1e3, 1),
-            "unit": f"ms/step@batch16/{precision}", **_mfu_fields(flops, dt)}
+            "unit": f"ms/step@batch{B}/{precision}", **_mfu_fields(flops, dt)}
 
 
 def bench_encoder(precision="fp32", speakers=64):
@@ -215,7 +220,7 @@ def bench_encoder(precision="fp32", speakers=64):
     from mockingbird_tpu.models.encoder.model import SpeakerEncoder, init_params
     from mockingbird_tpu.models.encoder.train import make_train_step
 
-    model = SpeakerEncoder()
+    model = SpeakerEncoder(remat=speakers >= 512)
     params = init_params(jax.random.PRNGKey(0))
     tx = optax.chain(optax.clip_by_global_norm(3.0), optax.adam(1e-4))
     opt = tx.init(params)
@@ -372,8 +377,12 @@ BENCHES = {"tacotron": bench_tacotron, "vits": bench_vits,
 # "latency-bound" claim holds, ms/step stays ~flat while MFU scales ~B.
 SCALED = {
     "tacotron": (bench_tacotron, (12, 48, 192)),
-    "encoder": (lambda p, b: bench_encoder(p, speakers=b), (64, 256, 1024)),
-    "ppg": (bench_ppg, (8, 32, 128)),
+    # encoder tops out at 512 speakers: even with remat, the forward's live
+    # hoisted projection (T, B·u, 4H) is ~3 GB/layer at 1024 and the step
+    # exceeds 16 GB HBM
+    "encoder": (lambda p, b: bench_encoder(p, speakers=b), (64, 256, 512)),
+    "ppg": (bench_ppg, (8, 32, 128, 256)),
+    "hifigan": (bench_hifigan, (16, 64, 128)),
 }
 
 

@@ -96,14 +96,22 @@ class SpeakerEncoder(nn.Module):
     hidden_size: int = MODEL_HIDDEN_SIZE
     embedding_size: int = MODEL_EMBEDDING_SIZE
     num_layers: int = MODEL_NUM_LAYERS
+    # rematerialise each LSTM layer in the backward pass: saves only layer
+    # boundaries instead of the hoisted (B·T, 4H) projections + per-step gate
+    # residuals, which OOM a 16 GB chip past ~512 speakers/batch. ~2× layer
+    # recompute for ~8× less activation HBM; off at the reference batch.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, utterances: jax.Array) -> jax.Array:
         x = utterances
+        layer_cls = (nn.remat(FusedLSTMLayer, prevent_cse=False)
+                     if self.remat else FusedLSTMLayer)
         for i in range(self.num_layers):
             # param paths `lstm_{i}/…` match flax's LSTMCell layout exactly
-            # (interop + existing checkpoints rely on them)
-            x = FusedLSTMLayer(self.hidden_size, name=f"lstm_{i}")(x)
+            # (interop + existing checkpoints rely on them; nn.remat keeps
+            # the module name/param tree identical)
+            x = layer_cls(self.hidden_size, name=f"lstm_{i}")(x)
         # reference takes the last layer's final hidden state (`model.py:55-57`);
         # for an LSTM the final hidden state equals the last output
         last = x[:, -1, :]

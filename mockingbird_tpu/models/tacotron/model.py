@@ -48,6 +48,7 @@ def tacotron_config() -> Config:
         max_r=20,
         stop_threshold=-3.4,
         lsa_mask="additive",        # "reference" = the lsa.py:41 u*mask quirk
+        remat_decoder=False,        # rematerialise the decoder scan (large batch)
         use_gst=True,
         use_ser_for_gst=True,
         gst_E=512,
@@ -431,6 +432,14 @@ class Tacotron(nn.Module):
             return mdl.cell(encoder_seq, encoder_seq_proj, char_mask, carry,
                             prenet_in, train, r)
 
+        # remat_decoder: recompute the cell's activations in the backward
+        # pass instead of materialising them for all S steps (the LSA
+        # location-conv features alone are S·B·T_text·128 floats — ~6 GB at
+        # batch 192, which OOMs a 16 GB chip). The recompute is ~1/3 extra
+        # decoder FLOPs for ~S× less scan-activation HBM; off at reference
+        # batch sizes, required for large-batch training.
+        if getattr(c, "remat_decoder", False) and train:
+            body = nn.remat(body, prevent_cse=False)
         scan = nn.scan(body, variable_broadcast="params",
                        split_rngs={"params": False, "dropout": True, "zoneout": True},
                        in_axes=0, out_axes=0)
