@@ -25,7 +25,8 @@ def _bucket(n, size):
 
 class VitsSynthesizer:
     def __init__(self, model_fpath: Optional[Union[str, Path]] = None,
-                 cfg=None, verbose: bool = True, seed: int = 0):
+                 cfg=None, verbose: bool = True, seed: int = 0,
+                 half: bool = False):
         self.cfg = Config(vits_config()).merge(cfg or {})
         self.seed = seed
         model, variables = init_vits(jax.random.PRNGKey(seed), self.cfg.clone())
@@ -39,6 +40,19 @@ class VitsSynthesizer:
             print("VITS: fresh (untrained) weights")
         self.model = model
         self.variables = variables
+        # half=True casts weights to bf16 like GanVocoder — measured SLOWER
+        # here (78x vs 125x RTF at batch 16 on a v5e): Vits.infer is
+        # dominated by the flow/duration stack's many small mixed-dtype ops,
+        # which become convert-bound in bf16, not by MXU-sized matmuls.
+        # Kept as an option (audio output is equivalent: same lengths,
+        # rms/centroid within 0.2%); default stays f32.
+        self.half = half
+        if half:
+            self._variables_c = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                variables)
+        else:
+            self._variables_c = variables
 
     @functools.lru_cache(maxsize=8)
     def _infer_fn(self, t_text: int, max_frames: int, pcm16: bool = False):
@@ -52,6 +66,7 @@ class VitsSynthesizer:
                 noise_scale=noise_scale, length_scale=length_scale,
                 noise_scale_w=noise_scale_w, max_len=max_frames, key=k1,
                 method=Vits.infer, rngs={"dropout": k2})
+            o = o.astype(jnp.float32)
             if pcm16:
                 # quantise on device: halves the device→host transfer, which
                 # dominates e2e latency on tunneled TPU hosts
@@ -77,7 +92,7 @@ class VitsSynthesizer:
                 else np.asarray(emos, np.float32))
 
         fn = self._infer_fn(t_text, max_frames, pcm16)
-        o, y_lengths = fn(self.variables, jnp.asarray(x), jnp.asarray(xl),
+        o, y_lengths = fn(self._variables_c, jnp.asarray(x), jnp.asarray(xl),
                           jnp.asarray(sids), jnp.asarray(emos),
                           jax.random.PRNGKey(self.seed),
                           jnp.float32(noise_scale), jnp.float32(length_scale),
