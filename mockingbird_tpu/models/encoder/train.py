@@ -71,7 +71,7 @@ def train(run_id: str, clean_data_root: Path, models_dir: Path,
           learning_rate: float = LEARNING_RATE_INIT,
           force_restart: bool = False, log_every: int = 10,
           vis_every: int = 100, use_mesh: bool = True,
-          precision: str = "bf16", seed: int = 0):
+          precision: str = "bf16", seed: int = 0, remat: Optional[bool] = None):
     multihost.initialize_from_env()
     dataset = SpeakerVerificationDataset(Path(clean_data_root))
     # seeded: under multi-process SPMD every process must build the same
@@ -79,7 +79,12 @@ def train(run_id: str, clean_data_root: Path, models_dir: Path,
     sampler = SpeakerBatchSampler(dataset, speakers_per_batch, utterances_per_speaker,
                                   PARTIALS_N_FRAMES, seed=seed)
 
-    model = SpeakerEncoder()
+    if remat is None:
+        # auto: past ~512-speaker batches the non-remat step exceeds 16 GB
+        # HBM (hoisted LSTM projections + gate residuals); remat is
+        # loss-parity identical, ~2x layer recompute in backward
+        remat = speakers_per_batch * utterances_per_speaker >= 4096
+    model = SpeakerEncoder(remat=remat)
     params = init_params(jax.random.PRNGKey(seed))
     tx = optax.chain(optax.clip_by_global_norm(3.0), optax.adam(learning_rate))
     opt_state = tx.init(params)
