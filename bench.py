@@ -227,7 +227,7 @@ def bench_tts(reps: int, batch: int):
         rtf_median=rtf_stats["median"], rtf_min=rtf_stats["min"],
         rtf_max=rtf_stats["max"], rtf_raw=rtf_stats["raw"],
         pcm_format=fmt,
-        rtf_by_pcm_format={f: rtf_by_fmt[f] for f in fmts},
+        rtf_by_pcm_format=rtf_by_fmt,
         compute_rtf=round(compute_rtf, 1),
         reps=reps, batch=batch,
         audio_seconds=round(audio_seconds, 2),

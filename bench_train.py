@@ -399,6 +399,9 @@ def main():
         for fam in args.families.split(","):
             fam = fam.strip()
             if fam not in SCALED:
+                print(json.dumps({"metric": f"{fam}_train_step",
+                                  "skipped": "no batch_scale sweep defined"}),
+                      flush=True)
                 continue
             fn, batches = SCALED[fam]
             for b in batches:

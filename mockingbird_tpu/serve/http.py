@@ -143,10 +143,13 @@ def make_handler(toolbox: WebToolbox, jobs: _Jobs):
             for i, chunk in enumerate(chunks):
                 # embed short-circuits the fused path; ref_wav covers the
                 # staged fallback (e.g. a VITS pipeline)
-                # mulaw8 on the device→host wire (half the bytes on the
-                # tunnel-bound link); the client still receives int16 WAV
-                pcm = pipe.tts_batch([chunk], ref_wav, embed=embed,
-                                     pcm_format="mulaw8")[0]
+                # int16 on the device→host wire by default: a sentence
+                # chunk is 1-2 s of audio (~32-64 KB), so the mu-law byte
+                # halving saves ~nothing here while costing ~38 dB SNR.
+                # Callers that ship large batches opt into "mulaw8" via
+                # pipeline.tts_batch(pcm_format=...) where the transfer
+                # actually dominates (see bench.py).
+                pcm = pipe.tts_batch([chunk], ref_wav, embed=embed)[0]
                 if pcm.dtype != np.int16:  # non-fused fallback (e.g. VITS)
                     pcm = np.round(np.clip(pcm, -1, 1) * 32767).astype(np.int16)
                 self.wfile.write(pcm.tobytes())

@@ -67,7 +67,22 @@ def main():
     ap.add_argument("--n_utts", type=int, default=160)
     ap.add_argument("--precision", default="bf16")
     ap.add_argument("--skip_data", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep existing trainer state (default wipes it so a "
+                         "regen run cannot silently resume a previous run's "
+                         "checkpoint, report a bogus convergence trajectory, "
+                         "or export a stale best-loss checkpoint)")
     args = ap.parse_args()
+
+    if not args.resume:
+        import shutil
+        for stale in (args.models_dir / "ppg_run" / "ckpt_ppg2mel",
+                      args.models_dir / "ppg_run" / "ckpt_ppg2mel_best",
+                      args.models_dir / "ppg_run" / "logs_ppg2mel",
+                      args.models_dir / "ppg_run" / "attn"):
+            if stale.exists():
+                print(f"wiping stale trainer state: {stale}", flush=True)
+                shutil.rmtree(stale)
 
     vc_dir = args.out / "vc"
     corpus = args.out / "corpus"

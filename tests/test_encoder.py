@@ -192,3 +192,32 @@ def test_checkpoint_roundtrip(tmp_path):
     model = SpeakerEncoder()
     ref = model.apply({"params": params["model"]}, jnp.asarray(x))
     np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+
+def test_lstm_remat_loss_parity():
+    """`SpeakerEncoder(remat=True)` (auto-enabled by the trainer at
+    >=4096-row batches) must match the non-remat step exactly: same loss,
+    same updated params, same `lstm_{i}/...` param tree."""
+    import optax
+    import jax
+    import jax.numpy as jnp
+    from mockingbird_tpu.models.encoder.model import SpeakerEncoder, init_params
+    from mockingbird_tpu.models.encoder.train import make_train_step
+
+    params = init_params(jax.random.PRNGKey(0))
+    batch = jnp.asarray(np.random.RandomState(0).randn(4, 3, 20, 40), np.float32)
+    outs = []
+    for remat in (False, True):
+        model = SpeakerEncoder(remat=remat)
+        # param tree must be identical (checkpoints swap between the two)
+        fresh = model.init(jax.random.PRNGKey(1), jnp.zeros((2, 20, 40)))["params"]
+        assert (jax.tree_util.tree_structure(fresh)
+                == jax.tree_util.tree_structure(params["model"]))
+        tx = optax.adam(1e-4)
+        opt = tx.init(params)
+        p = jax.tree.map(jnp.copy, params)
+        step = make_train_step(model, tx, 4, 3)
+        p2, o2, loss, eer, _ = step(p, opt, batch)
+        outs.append((float(loss), np.asarray(jax.tree.leaves(p2)[0])))
+    assert abs(outs[0][0] - outs[1][0]) < 1e-5, (outs[0][0], outs[1][0])
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=2e-5, atol=1e-6)

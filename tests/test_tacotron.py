@@ -192,3 +192,33 @@ def test_guided_attention_loss():
     np.testing.assert_allclose(
         float(guided_attention_loss(jnp.asarray(noisy), tl, ml, r)), l_diag,
         atol=1e-6)
+
+
+def test_remat_decoder_loss_parity():
+    """`remat_decoder` must be a pure memory/compute trade: identical loss
+    and identical updated params vs the full-activation scan (it gates the
+    production train graph at large batches — BASELINE.md MFU sweep)."""
+    import optax
+    from mockingbird_tpu.models.tacotron.train import make_train_step
+
+    rng = np.random.RandomState(0)
+    batch = dict(
+        texts=jnp.asarray(rng.randint(1, 60, (2, 12)), jnp.int32),
+        mels=jnp.asarray(rng.randn(2, 8, 20) * 0.1, jnp.float32),
+        embeds=jnp.asarray(rng.randn(2, 8), jnp.float32),
+        stop=jnp.ones((2, 8), jnp.float32),
+        mel_lengths=jnp.full((2,), 8, jnp.int32),
+    )
+    outs = []
+    for remat in (False, True):
+        cfg = small_cfg().merge(dict(remat_decoder=remat))
+        model, variables = init_tacotron(jax.random.PRNGKey(0), cfg)
+        tx = optax.adam(1e-3)
+        opt = tx.init(variables["params"])
+        step = make_train_step(model, tx, 2)
+        (p, s), o, loss, parts, attn, post = step(
+            (variables["params"], variables["batch_stats"]), opt, batch,
+            jax.random.PRNGKey(7))
+        outs.append((float(loss), np.asarray(jax.tree.leaves(p)[0])))
+    assert abs(outs[0][0] - outs[1][0]) < 1e-5, (outs[0][0], outs[1][0])
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=2e-5, atol=1e-6)
