@@ -385,7 +385,7 @@ def main():
 
     if paths == "all":
         extras = []
-        for name, fn in (("vits", lambda: bench_vits(max(reps // 2, 3), min(batch, 16))),
+        for name, fn in (("vits", lambda: bench_vits(max(reps // 2, 3), min(batch, 64))),
                          ("ppg_vc", lambda: bench_ppg_vc(max(reps // 2, 3))),
                          ("wavernn_e2e", lambda: bench_wavernn_e2e(
                              max(reps // 2, 3), min(batch, 8)))):

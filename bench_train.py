@@ -125,7 +125,7 @@ def bench_tacotron(precision="fp32", batch=12):
             "unit": f"ms/step@batch{B}/{precision}", **_mfu_fields(flops, dt)}
 
 
-def bench_vits(precision="fp32"):
+def bench_vits(precision="fp32", batch=16):
     import jax, jax.numpy as jnp, optax
     from mockingbird_tpu.config import Config
     from mockingbird_tpu.models.vits.model import init_vits, vits_config
@@ -144,7 +144,7 @@ def bench_vits(precision="fp32"):
     g_opt, d_opt = tx_g.init(g_params), tx_d.init(d_vars["params"])
     step = make_vits_step(model, disc, tx_g, tx_d, cfg.freeze(), precision)
 
-    B, T_TXT, T_SPEC = 16, 96, 400
+    B, T_TXT, T_SPEC = batch, 96, 400
     rng = np.random.RandomState(0)
     batch = dict(
         texts=jnp.asarray(rng.randint(1, 70, (B, T_TXT)), jnp.int32),
@@ -171,7 +171,7 @@ def bench_vits(precision="fp32"):
     dt = _best(run)
     flops = _flops_of(step, g_params, d_vars, g_opt, d_opt, batch, key)
     return {"metric": "vits_train_step", "value": round(dt * 1e3, 1),
-            "unit": f"ms/step@batch16/{precision}", **_mfu_fields(flops, dt)}
+            "unit": f"ms/step@batch{B}/{precision}", **_mfu_fields(flops, dt)}
 
 
 def bench_hifigan(precision="fp32", batch=16):
@@ -240,7 +240,7 @@ def bench_encoder(precision="fp32", speakers=64):
             "unit": f"ms/step@{speakers}x10/{precision}", **_mfu_fields(flops, dt)}
 
 
-def bench_fregan(precision="fp32"):
+def bench_fregan(precision="fp32", batch=16):
     import jax, jax.numpy as jnp, optax
     from mockingbird_tpu.config import Config
     from mockingbird_tpu.models.vocoder.fregan import (FreGanDiscriminators,
@@ -262,7 +262,7 @@ def bench_fregan(precision="fp32"):
     tx_d = optax.adamw(2e-4, b1=0.8, b2=0.99)
     g_opt, d_opt = tx_g.init(g_params), tx_d.init(d_vars["params"])
     step = make_gan_step(gen, disc, tx_g, tx_d, cfg, precision)
-    B = 16
+    B = batch
     rng = np.random.RandomState(0)
     batch = dict(
         mels=jnp.asarray(rng.randn(B, t_mel, cfg.num_mels), jnp.float32),
@@ -280,7 +280,7 @@ def bench_fregan(precision="fp32"):
     dt = _best(run)
     flops = _flops_of(step, g_params, d_vars, g_opt, d_opt, batch, 1, True)
     return {"metric": "fregan_train_step", "value": round(dt * 1e3, 1),
-            "unit": f"ms/step@batch16/{precision}", **_mfu_fields(flops, dt)}
+            "unit": f"ms/step@batch{B}/{precision}", **_mfu_fields(flops, dt)}
 
 
 def bench_ppg(precision="fp32", batch=8):
@@ -324,7 +324,7 @@ def bench_ppg(precision="fp32", batch=8):
             "unit": f"ms/step@batch{B}x400/{precision}", **_mfu_fields(flops, dt)}
 
 
-def bench_wavernn(precision="fp32"):
+def bench_wavernn(precision="fp32", batch=None):
     """WaveRNN train step at the reference defaults (batch 100, seq 1280,
     `wavernn/hparams.py:34`)."""
     import jax, jax.numpy as jnp, optax
@@ -342,7 +342,7 @@ def bench_wavernn(precision="fp32"):
     tx = optax.adam(cfg.learning_rate)
     opt = tx.init(params)
     step = make_wavernn_step(model, tx, cfg.mode, precision)
-    B = cfg.batch_size
+    B = batch or cfg.batch_size
     rng = np.random.RandomState(0)
     batch = dict(x=jnp.asarray(rng.randn(B, cfg.seq_len) * 0.1, jnp.float32),
                  y=jnp.asarray(rng.randint(0, 2 ** cfg.bits, (B, cfg.seq_len)),
@@ -362,7 +362,7 @@ def bench_wavernn(precision="fp32"):
         ("rnn1|rnn2|/I|fc1|fc2|fc3", cfg.seq_len),
         ("upsample", mel_win)], B)
     return {"metric": "wavernn_train_step", "value": round(dt * 1e3, 1),
-            "unit": f"ms/step@batch100/{precision}", **_mfu_fields(flops, dt)}
+            "unit": f"ms/step@batch{B}/{precision}", **_mfu_fields(flops, dt)}
 
 
 BENCHES = {"tacotron": bench_tacotron, "vits": bench_vits,
@@ -383,6 +383,10 @@ SCALED = {
     "encoder": (lambda p, b: bench_encoder(p, speakers=b), (64, 256, 512)),
     "ppg": (bench_ppg, (8, 32, 128, 256)),
     "hifigan": (bench_hifigan, (16, 64, 128)),
+    "vits": (bench_vits, (16, 32, 64)),
+    "fregan": (bench_fregan, (16, 64)),
+    # 256 exceeds 16 GB HBM (sample-rate GRU scan activations); 192 fits
+    "wavernn": (bench_wavernn, (100, 192)),
 }
 
 
