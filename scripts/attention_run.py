@@ -126,13 +126,8 @@ def main():
                          "checkpoint and report a bogus trajectory)")
     args = ap.parse_args()
 
-    if not args.resume:
-        import shutil
-        for stale in (args.models_dir / "attention_run" / "ckpt",
-                      args.models_dir / "attention_run" / "logs"):
-            if stale.exists():
-                print(f"wiping stale trainer state: {stale}", flush=True)
-                shutil.rmtree(stale)
+    from _run_utils import wipe_stale_state
+    wipe_stale_state(args.models_dir, "attention_run", args.resume)
 
     out = args.out
     syn = out / "syn"

@@ -226,12 +226,8 @@ def main():
 
     run_dir = args.models_dir / "encoder_run"
     run_dir.mkdir(parents=True, exist_ok=True)
-    if not args.resume:
-        import shutil
-        for stale in (run_dir / "ckpt", run_dir / "logs", run_dir / "umap"):
-            if stale.exists():
-                print(f"wiping stale trainer state: {stale}", flush=True)
-                shutil.rmtree(stale)
+    from _run_utils import wipe_stale_state
+    wipe_stale_state(args.models_dir, "encoder_run", args.resume)
     eval_mels = eval_proc
 
     print("== training (phased, resume-from-checkpoint) ==", flush=True)

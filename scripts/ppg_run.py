@@ -74,15 +74,8 @@ def main():
                          "or export a stale best-loss checkpoint)")
     args = ap.parse_args()
 
-    if not args.resume:
-        import shutil
-        for stale in (args.models_dir / "ppg_run" / "ckpt_ppg2mel",
-                      args.models_dir / "ppg_run" / "ckpt_ppg2mel_best",
-                      args.models_dir / "ppg_run" / "logs_ppg2mel",
-                      args.models_dir / "ppg_run" / "attn"):
-            if stale.exists():
-                print(f"wiping stale trainer state: {stale}", flush=True)
-                shutil.rmtree(stale)
+    from _run_utils import wipe_stale_state
+    wipe_stale_state(args.models_dir, "ppg_run", args.resume)
 
     vc_dir = args.out / "vc"
     corpus = args.out / "corpus"

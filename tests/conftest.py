@@ -31,15 +31,15 @@ import pytest
 
 
 def pytest_terminal_summary(terminalreporter, exitstatus, config):
-    """A bare `pytest` runs the FAST tier only (addopts `-m 'not slow'`):
-    say so loudly, so a green run is never mistaken for the full
-    correctness suite (torch-equivalence, e2e, multi-process live in
-    `-m slow`). The gating command is: pytest -m 'slow or not slow'."""
+    """Bare `pytest` runs EVERYTHING; when the fast tier is explicitly
+    selected (`-m 'not slow'` / `make fast`), say so loudly, so a green
+    fast run is never mistaken for the full correctness suite
+    (torch-equivalence, e2e, multi-process live in `-m slow`)."""
     if config.getoption("-m") == "not slow":
         terminalreporter.write_sep(
             "=", "FAST TIER ONLY: slow tests (torch-equivalence, e2e, "
-            "multi-process) were deselected. Full suite: "
-            "pytest -m 'slow or not slow'", yellow=True)
+            "multi-process) were deselected. Full suite: bare `pytest` "
+            "(or `make test`)", yellow=True)
 
 
 @pytest.fixture(scope="session")

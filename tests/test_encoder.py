@@ -218,6 +218,8 @@ def test_lstm_remat_loss_parity():
         p = jax.tree.map(jnp.copy, params)
         step = make_train_step(model, tx, 4, 3)
         p2, o2, loss, eer, _ = step(p, opt, batch)
-        outs.append((float(loss), np.asarray(jax.tree.leaves(p2)[0])))
+        outs.append((float(loss), jax.tree.map(np.asarray, p2)))
     assert abs(outs[0][0] - outs[1][0]) < 1e-5, (outs[0][0], outs[1][0])
-    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=2e-5, atol=1e-6)
+    # EVERY updated parameter must match, not just the first leaf
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=2e-5, atol=1e-6), outs[0][1], outs[1][1])

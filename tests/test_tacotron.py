@@ -219,6 +219,9 @@ def test_remat_decoder_loss_parity():
         (p, s), o, loss, parts, attn, post = step(
             (variables["params"], variables["batch_stats"]), opt, batch,
             jax.random.PRNGKey(7))
-        outs.append((float(loss), np.asarray(jax.tree.leaves(p)[0])))
+        outs.append((float(loss), jax.tree.map(np.asarray, p)))
     assert abs(outs[0][0] - outs[1][0]) < 1e-5, (outs[0][0], outs[1][0])
-    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=2e-5, atol=1e-6)
+    # EVERY updated parameter must match — a backward-only remat defect
+    # could corrupt one subtree's grads while leaving loss bit-identical
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=2e-5, atol=1e-6), outs[0][1], outs[1][1])
