@@ -48,3 +48,14 @@ def test_trained_export_exists_and_loads(family):
 def _leaves(tree):
     import jax
     return jax.tree.leaves(tree)
+
+
+def test_regen_runs_covers_all_families():
+    """scripts/regen_runs.sh must invoke every evidence-run script — round 3
+    lost the ppg family because the regen script silently omitted it
+    (ADVICE r3)."""
+    regen = (Path(__file__).resolve().parent.parent
+             / "scripts" / "regen_runs.sh").read_text()
+    for script in ("attention_run.py", "encoder_run.py", "gan_run.py",
+                   "vits_run.py", "ppg_run.py"):
+        assert script in regen, f"regen_runs.sh does not run {script}"
