@@ -81,53 +81,92 @@ class VoiceConverter:
                 return jnp.logical_and(t < n_groups, jnp.logical_not(jnp.all(done)))
 
             def body(state):
-                t, done, carry, prev, buf, key = state
+                t, done, frames, carry, prev, buf, key = state
                 key, sub = jax.random.split(key)
                 carry, (mel_r, stop, _) = model.apply(
                     variables, memory, mem_mask, carry, prev,
                     method=MelDecoderMOLv2.decode_step, rngs={"dropout": sub})
                 buf = jax.lax.dynamic_update_index_in_dim(buf, mel_r, t, 0)
-                done = jnp.logical_or(done, jax.nn.sigmoid(stop) > stop_threshold)
+                newly = jnp.logical_and(jnp.logical_not(done),
+                                        jax.nn.sigmoid(stop) > stop_threshold)
+                done = jnp.logical_or(done, newly)
+                # per-row stop step: utterances in one batch finish at
+                # different frames (the reference decodes one utterance at a
+                # time, `run.py:63-94`; the batched path must track each)
+                frames = jnp.where(newly, (t + 1) * r, frames)
                 prev = mel_r.reshape(b, r, m)[:, -1]
-                return (t + 1, done, carry, prev, buf, key)
+                return (t + 1, done, frames, carry, prev, buf, key)
 
-            state = (jnp.asarray(0), jnp.zeros((b,), bool), carry0, go, buf, key)
-            t_final, _, _, _, buf, _ = jax.lax.while_loop(cond, body, state)
+            state = (jnp.asarray(0), jnp.zeros((b,), bool),
+                     jnp.zeros((b,), jnp.int32), carry0, go, buf, key)
+            t_final, done, frames, _, _, buf, _ = jax.lax.while_loop(
+                cond, body, state)
+            frames = jnp.where(done, frames, t_final * r)
             mels = jnp.swapaxes(buf, 0, 1).reshape(b, n_groups * r, m)
             mels = model.apply(variables, mels, method=MelDecoderMOLv2.postnet_apply)
-            return mels, t_final * r
+            return mels, frames
 
         return decode
+
+    def convert_wavs(self, src_wavs, max_steps: Optional[int] = None,
+                     stop_threshold: float = 0.5, seed: int = 0) -> list:
+        """Batched one-shot VC: list of source wavs → list of (T_i, 80) mels.
+
+        The throughput path (VERDICT r4 Next #2): the reference converts a
+        whole directory one utterance at a time (`run.py:63-94`); here every
+        utterance's Conformer PPG extraction and MOL-attention AR decode run
+        as ONE batched device program each — the AR while-loop's per-step
+        cost is nearly flat in batch, so converting B utterances together
+        costs ~one utterance's latency. Memory lengths are padded to a
+        shared 64-group bucket and the batch to a power-of-two so repeat
+        calls reuse compiled programs; per-row stop steps trim each output.
+
+        ``max_steps`` defaults to the longest source's frame count bucketed
+        to 100 (the decoder never needs more frames than the source has,
+        content-preserving VC being roughly length-preserving)."""
+        assert self.ref_embed is not None, "call set_reference() first"
+        down = int(np.prod(self.cfg.encoder_downsample_rates))
+        ppgs = self.extractor.extract_from_wavs(src_wavs)
+        ns, feats = [], []
+        for wav, ppg in zip(src_wavs, ppgs):
+            lf0_uv = get_converted_lf0uv(wav, self.ref_lf0_mean, self.ref_lf0_std)
+            n = min(len(ppg), len(lf0_uv))
+            n -= n % down
+            ns.append(n)
+            feats.append((ppg[:n], lf0_uv[:n]))
+
+        b = len(src_wavs)
+        b_pad = 1 << max(b - 1, 0).bit_length()  # power-of-two batch bucket
+        t_mem_pad = max(64, int(np.ceil(max(ns) / down / 64)) * 64)
+        if max_steps is None:
+            max_steps = max(((max(ns) + 99) // 100) * 100, 200)
+        ppg_pad = np.zeros((b_pad, t_mem_pad * down, ppgs[0].shape[1]), np.float32)
+        lf0_pad = np.zeros((b_pad, t_mem_pad * down, 2), np.float32)
+        mem_mask = np.zeros((b_pad, t_mem_pad), np.float32)
+        for i, (ppg, lf0_uv) in enumerate(feats):
+            ppg_pad[i, : ns[i]] = ppg
+            lf0_pad[i, : ns[i]] = lf0_uv
+            mem_mask[i, : ns[i] // down] = 1
+        mem_mask[b:, :1] = 1  # padding rows attend to one frame, decode junk
+
+        embeds = np.tile(self.ref_embed, (b_pad, 1))
+        memory = self._encode(jnp.asarray(ppg_pad), jnp.asarray(lf0_pad),
+                              jnp.asarray(embeds))
+        decode = self._decode_fn(t_mem_pad, max_steps)
+        mels, frames = decode(self.variables, memory, jnp.asarray(mem_mask),
+                              jax.random.PRNGKey(seed),
+                              jnp.float32(stop_threshold))
+        mels = np.asarray(mels)
+        frames = np.asarray(frames)
+        return [mels[i, : min(int(frames[i]), ns[i])] for i in range(b)]
 
     def convert_wav(self, src_wav: np.ndarray, max_steps: int = 1600,
                     stop_threshold: float = 0.5, seed: int = 0) -> tuple[np.ndarray, float]:
         """source wav → (mel (T, 80), rtf). Mel in SV2TTS ±4 convention."""
-        assert self.ref_embed is not None, "call set_reference() first"
         t0 = time.time()
-        ppg = self.extractor.extract_from_wav(src_wav)                       # (T, 144)
-        lf0_uv = get_converted_lf0uv(src_wav, self.ref_lf0_mean, self.ref_lf0_std)
-        n = min(len(ppg), len(lf0_uv))
-        down = int(np.prod(self.cfg.encoder_downsample_rates))
-        n -= n % down
-        ppg, lf0_uv = ppg[:n], lf0_uv[:n]
-
-        t_mem_pad = max(64, int(np.ceil(n / down / 64)) * 64)
-        ppg_pad = np.zeros((1, t_mem_pad * down, ppg.shape[1]), np.float32)
-        ppg_pad[0, :n] = ppg
-        lf0_pad = np.zeros((1, t_mem_pad * down, 2), np.float32)
-        lf0_pad[0, :n] = lf0_uv
-
-        memory = self._encode(jnp.asarray(ppg_pad), jnp.asarray(lf0_pad),
-                              jnp.asarray(self.ref_embed[None]))
-        mem_mask = np.zeros((1, t_mem_pad), np.float32)
-        mem_mask[0, : n // down] = 1
-
-        decode = self._decode_fn(t_mem_pad, max_steps)
-        mels, n_frames = decode(self.variables, memory, jnp.asarray(mem_mask),
-                                jax.random.PRNGKey(seed), jnp.float32(stop_threshold))
-        n_frames = int(min(int(n_frames), n))
-        mel = np.asarray(mels)[0, :n_frames]
-        rtf = (time.time() - t0) / max(0.01 * n_frames, 1e-6)
+        mel = self.convert_wavs([src_wav], max_steps=max_steps,
+                                stop_threshold=stop_threshold, seed=seed)[0]
+        rtf = (time.time() - t0) / max(0.01 * len(mel), 1e-6)
         return mel, rtf
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -135,21 +174,37 @@ class VoiceConverter:
         return self.model.apply(self.variables, ppg, lf0_uv, spembs,
                                 method=MelDecoderMOLv2.encode_inputs)
 
-    def convert_files(self, src_paths, out_dir, vocoder=None) -> None:
-        """Batch conversion with RTF report (`run.py:63-94`)."""
+    def convert_files(self, src_paths, out_dir, vocoder=None,
+                      batch_size: int = 8) -> None:
+        """Whole-directory conversion with RTF report (`run.py:63-94`).
+
+        Unlike the reference's sequential loop, utterances ride the batched
+        `convert_wavs` path in groups of ``batch_size`` — the reported mean
+        RTF is the reference's own convention (elapsed / 0.01·mel_len,
+        lower is better), computed per utterance from its batch's share."""
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         rtfs = []
-        for p in src_paths:
-            wav, _ = load_wav(p, target_sr=16000)
-            mel, rtf = self.convert_wav(wav)
-            rtfs.append(rtf)
-            if vocoder is not None:
-                out = vocoder.infer_waveform(mel.T)
+        src_paths = list(src_paths)
+        for i in range(0, len(src_paths), batch_size):
+            chunk = src_paths[i : i + batch_size]
+            wavs = [load_wav(p, target_sr=16000)[0] for p in chunk]
+            t0 = time.time()
+            mels = self.convert_wavs(wavs)
+            elapsed = time.time() - t0
+            total_frames = sum(len(m) for m in mels)
+            rtfs += [elapsed / max(0.01 * total_frames, 1e-6)] * len(chunk)
+            if vocoder is not None and hasattr(vocoder, "infer_waveform_batch"):
+                outs = vocoder.infer_waveform_batch([m.T for m in mels])
+            elif vocoder is not None:
+                outs = [vocoder.infer_waveform(m.T) for m in mels]
             else:
                 from ...dsp import inv_mel_spectrogram
-                out = np.asarray(inv_mel_spectrogram(jnp.asarray(mel), sv2tts_audio_config()))
-            save_wav(out, out_dir / f"vc_{Path(p).stem}.wav", 16000)
+                outs = [np.asarray(inv_mel_spectrogram(jnp.asarray(m),
+                                                       sv2tts_audio_config()))
+                        for m in mels]
+            for p, out in zip(chunk, outs):
+                save_wav(out, out_dir / f"vc_{Path(p).stem}.wav", 16000)
         print(f"mean RTF: {np.mean(rtfs):.3f}")
 
 

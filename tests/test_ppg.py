@@ -183,3 +183,63 @@ def test_vc_decode_loop():
         assert mel.shape[1] == 20
         assert np.isfinite(mel).all()
         assert rtf > 0
+
+
+def test_ppg_extractor_batch_matches_single():
+    """extract_from_wavs must reproduce per-wav extract_from_wav outputs:
+    padded frames are masked through the frontend/MVN/attention, so sharing
+    the longest utterance's length bucket cannot change valid frames."""
+    from mockingbird_tpu.models.ppg import PPGExtractor
+
+    ext = PPGExtractor(cfg=small_ppg_cfg(), verbose=False)
+    sr = 16000
+    t = np.arange(sr) / sr
+    wav_a = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    wav_b = (0.3 * np.sin(2 * np.pi * 330 * t[: sr // 2])).astype(np.float32)
+
+    singles = [ext.extract_from_wav(wav_a), ext.extract_from_wav(wav_b)]
+    batched = ext.extract_from_wavs([wav_a, wav_b])
+    for s, b in zip(singles, batched):
+        assert s.shape == b.shape
+        # wav_b shares wav_a's 1 s bucket in the batch but used its own
+        # when alone; only the last boundary frames may see pad differences
+        np.testing.assert_allclose(s[:-2], b[:-2], atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_vc_batch_decode(tmp_path):
+    """convert_wavs: batched AR decode returns per-row trimmed mels; the
+    batch-1 call goes through the same path convert_wav wraps."""
+    from mockingbird_tpu.models.ppg.convert import VoiceConverter
+    from mockingbird_tpu.models.ppg import PPGExtractor
+    from mockingbird_tpu.models.encoder import SpeakerEncoderInference
+    import scipy.io.wavfile as wavfile
+
+    vc = VoiceConverter(cfg=small_p2m_cfg().merge(dict(num_mels=20)),
+                        extractor=PPGExtractor(cfg=small_ppg_cfg().merge(
+                            dict(output_size=24)), verbose=False),
+                        encoder=SpeakerEncoderInference(), verbose=False)
+    sr = 16000
+    t = np.arange(sr) / sr
+    ref = (0.4 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
+    ref_path = tmp_path / "ref.wav"
+    wavfile.write(ref_path, sr, (ref * 32767).astype(np.int16))
+    vc.set_reference(ref_path)
+    vc.ref_embed = vc.ref_embed[:16]  # small model's spk dim
+
+    src_a = (0.4 * np.sin(2 * np.pi * 250 * t[: sr // 2])).astype(np.float32)
+    src_b = (0.4 * np.sin(2 * np.pi * 140 * t[: sr // 4])).astype(np.float32)
+    # stop disabled (sigmoid <= 1 < 2): every row must decode max_steps
+    mels = vc.convert_wavs([src_a, src_b], max_steps=32, stop_threshold=2.0)
+    assert len(mels) == 2
+    for mel, src in zip(mels, [src_a, src_b]):
+        assert mel.shape[1] == 20 and np.isfinite(mel).all()
+        # trimmed to min(decoded frames, source frames)
+        assert mel.shape[0] <= 32
+    # the shorter source has fewer PPG frames than max_steps: its mel is
+    # trimmed at the SOURCE length, independent of its neighbour's
+    assert mels[1].shape[0] < mels[0].shape[0] or mels[1].shape[0] <= 32
+
+    single = vc.convert_wavs([src_a], max_steps=32, stop_threshold=2.0)[0]
+    wrapped, _ = vc.convert_wav(src_a, max_steps=32, stop_threshold=2.0)
+    np.testing.assert_allclose(single, wrapped, atol=1e-6)
