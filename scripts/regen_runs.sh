@@ -13,6 +13,9 @@ echo "encoder_run rc=$?"
 python scripts/gan_run.py --gta_run attention_run --steps 3000 \
   > /tmp/regen_logs/gan.log 2>&1
 echo "gan_run rc=$?"
+python scripts/wavernn_run.py --steps 5000 \
+  > /tmp/regen_logs/wavernn.log 2>&1
+echo "wavernn_run rc=$?"
 python scripts/vits_run.py --steps 3000 \
   > /tmp/regen_logs/vits.log 2>&1
 echo "vits_run rc=$?"

@@ -27,6 +27,7 @@ EXPORTS = {
     "vocoder_hifigan": SAVED / "gan_run" / "vocoder_hifigan.ckpt",
     "vits": SAVED / "vits_run" / "synthesizer_vits.ckpt",
     "ppg2mel": SAVED / "ppg_run" / "ppg2mel.ckpt",
+    "vocoder_wavernn": SAVED / "wavernn_run" / "vocoder_wavernn.ckpt",
 }
 
 
@@ -57,5 +58,41 @@ def test_regen_runs_covers_all_families():
     regen = (Path(__file__).resolve().parent.parent
              / "scripts" / "regen_runs.sh").read_text()
     for script in ("attention_run.py", "encoder_run.py", "gan_run.py",
-                   "vits_run.py", "ppg_run.py"):
+                   "vits_run.py", "ppg_run.py", "wavernn_run.py"):
         assert script in regen, f"regen_runs.sh does not run {script}"
+
+
+def test_wipe_stale_state_covers_eval_dumps(tmp_path):
+    """Non-resume evidence runs must wipe per-phase eval dumps (r4 advisor:
+    attention_run's trajectory globs eval/attention_*.npz, so stale dumps
+    from a longer previous run corrupt a fresh shorter run's readout) while
+    keeping the exported inference weights."""
+    import sys
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from _run_utils import wipe_stale_state
+
+    run = tmp_path / "attention_run"
+    (run / "eval").mkdir(parents=True)
+    (run / "ckpt").mkdir()
+    (run / "synthesizer.ckpt").mkdir()
+    stale = [run / "eval" / "attention_005750.npz",
+             run / "eval" / "step-003000-gen.wav",
+             run / "eval" / "mas_002500.png"]
+    for p in stale:
+        p.write_bytes(b"x")
+    keep = run / "eval" / "ground_truth.wav"
+    keep.write_bytes(b"x")
+
+    wipe_stale_state(tmp_path, "attention_run", resume=False)
+    for p in stale:
+        assert not p.exists(), p
+    assert not (run / "ckpt").exists()
+    assert (run / "synthesizer.ckpt").exists()   # export kept
+    assert keep.exists()                          # non-phase eval kept
+
+    # --resume keeps everything
+    for p in stale:
+        p.write_bytes(b"x")
+    (run / "ckpt").mkdir()
+    wipe_stale_state(tmp_path, "attention_run", resume=True)
+    assert all(p.exists() for p in stale) and (run / "ckpt").exists()
