@@ -332,7 +332,11 @@ def bench_wavernn(precision="fp32", batch=None):
     from mockingbird_tpu.models.vocoder.wavernn import WaveRNN, wavernn_config
     from mockingbird_tpu.models.vocoder.wavernn_train import make_wavernn_step
 
-    cfg = Config(wavernn_config())
+    B = batch or Config(wavernn_config()).batch_size
+    # remat (GRU cells + chunked head) makes batch >=192 fit; same trainer
+    # auto-enable threshold (loss-parity tested)
+    remat = B >= 192
+    cfg = Config(wavernn_config()).merge(dict(remat=remat))
     fcfg = cfg.freeze()
     model = WaveRNN(fcfg)
     mel_win = cfg.seq_len // cfg.hop_size + 2 * cfg.pad
@@ -341,8 +345,7 @@ def bench_wavernn(precision="fp32", batch=None):
     params, stats = variables["params"], variables["batch_stats"]
     tx = optax.adam(cfg.learning_rate)
     opt = tx.init(params)
-    step = make_wavernn_step(model, tx, cfg.mode, precision)
-    B = batch or cfg.batch_size
+    step = make_wavernn_step(model, tx, cfg.mode, precision, remat=remat)
     rng = np.random.RandomState(0)
     batch = dict(x=jnp.asarray(rng.randn(B, cfg.seq_len) * 0.1, jnp.float32),
                  y=jnp.asarray(rng.randint(0, 2 ** cfg.bits, (B, cfg.seq_len)),
@@ -385,8 +388,9 @@ SCALED = {
     "hifigan": (bench_hifigan, (16, 64, 128)),
     "vits": (bench_vits, (16, 32, 64)),
     "fregan": (bench_fregan, (16, 64)),
-    # 256 exceeds 16 GB HBM (sample-rate GRU scan activations); 192 fits
-    "wavernn": (bench_wavernn, (100, 192)),
+    # >=192 auto-remats (GRU cells + chunked head): 256/384 fit where the
+    # plain step OOM'd past 192 (r4) — sample-rate GRU scan activations
+    "wavernn": (bench_wavernn, (100, 192, 256, 384)),
 }
 
 

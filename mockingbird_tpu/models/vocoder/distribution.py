@@ -7,6 +7,8 @@ Time-major (B, T, C) layout.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -19,7 +21,7 @@ def log_sum_exp(x, axis=-1):
 def discretized_mix_logistic_loss(y_hat, y, num_classes=65536, log_scale_min=None, reduce=True):
     """y_hat (B, T, 30); y (B, T, 1) in [-1, 1]."""
     if log_scale_min is None:
-        log_scale_min = float(jnp.log(1e-14))
+        log_scale_min = math.log(1e-14)  # host constant (jit/remat safe)
     nr_mix = y_hat.shape[-1] // 3
 
     logit_probs = y_hat[..., :nr_mix]
@@ -55,7 +57,7 @@ def discretized_mix_logistic_loss(y_hat, y, num_classes=65536, log_scale_min=Non
 def sample_from_discretized_mix_logistic(key, y, log_scale_min=None):
     """y (B, T, 30) → samples (B, T) in [-1, 1]."""
     if log_scale_min is None:
-        log_scale_min = float(jnp.log(1e-14))
+        log_scale_min = math.log(1e-14)  # host constant (jit/remat safe)
     nr_mix = y.shape[-1] // 3
     logit_probs = y[..., :nr_mix]
 

@@ -126,18 +126,27 @@ class WaveRNN(nn.Module):
         self.aux_dims = c.res_out_dims // 4
         self.upsample = UpsampleNetwork(c, name="upsample")
         self.I = nn.Dense(c.rnn_dims, name="I")
-        self.rnn1 = nn.RNN(nn.GRUCell(c.rnn_dims), name="rnn1")
-        self.rnn2 = nn.RNN(nn.GRUCell(c.rnn_dims), name="rnn2")
+        # remat=True (training only): recompute each GRU step's gate
+        # activations in the backward pass instead of storing (B, T, ·)
+        # residuals for the whole sequence — with the chunked head loss in
+        # `wavernn_train.make_wavernn_step(remat=True)` this makes batch
+        # 256+ fit on one chip (VERDICT r4 Next #6). nn.remat keeps the
+        # parameter tree identical, so checkpoints interchange freely.
+        cell_cls = (nn.remat(nn.GRUCell, prevent_cse=False)
+                    if self.cfg.get("remat", False) else nn.GRUCell)
+        self.rnn1 = nn.RNN(cell_cls(c.rnn_dims), name="rnn1")
+        self.rnn2 = nn.RNN(cell_cls(c.rnn_dims), name="rnn2")
         self.fc1 = nn.Dense(c.fc_dims, name="fc1")
         self.fc2 = nn.Dense(c.fc_dims, name="fc2")
         self.fc3 = nn.Dense(self.n_classes, name="fc3")
 
-    def __call__(self, x, mels, train: bool = True):
-        """x (B, T) float in [-1,1]; mels (B, T/hop + 2*pad, M) →
-        logits (B, T, n_classes) (`fatchord_version.py:117-151`)."""
-        c = self.cfg
-        mels_up, aux = self.upsample(mels, train)
+    def features(self, x, mels, train: bool = True):
+        """Everything before the FC head: x (B, T) float in [-1,1];
+        mels (B, T/hop + 2*pad, M) → (h (B, T, rnn), a3, a4). Split from
+        `__call__` so the remat trainer can apply `head` in checkpointed
+        time chunks without materialising (B, T, n_classes) logits."""
         d = self.aux_dims
+        mels_up, aux = self.upsample(mels, train)
         a1, a2, a3, a4 = (aux[..., i * d:(i + 1) * d] for i in range(4))
 
         inp = jnp.concatenate([x[..., None], mels_up, a1], axis=-1)
@@ -148,9 +157,19 @@ class WaveRNN(nn.Module):
         res = h
         h2 = self.rnn2(jnp.concatenate([h, a2], axis=-1))
         h = h2 + res
+        return h, a3, a4
+
+    def head(self, h, a3, a4):
+        """FC head: (·, rnn) + aux → (·, n_classes) logits."""
         h = nn.relu(self.fc1(jnp.concatenate([h, a3], axis=-1)))
         h = nn.relu(self.fc2(jnp.concatenate([h, a4], axis=-1)))
         return self.fc3(h)
+
+    def __call__(self, x, mels, train: bool = True):
+        """x (B, T) float in [-1,1]; mels (B, T/hop + 2*pad, M) →
+        logits (B, T, n_classes) (`fatchord_version.py:117-151`)."""
+        h, a3, a4 = self.features(x, mels, train)
+        return self.head(h, a3, a4)
 
     # -- generation primitives ---------------------------------------------
 

@@ -94,26 +94,68 @@ def collate_wavernn(batch, cfg, rng: Optional[random.Random] = None):
     return dict(x=x.astype(np.float32), y=y, mels=mels)
 
 
-def make_wavernn_step(model: WaveRNN, tx, mode: str, precision: str = "fp32"):
+def make_wavernn_step(model: WaveRNN, tx, mode: str, precision: str = "fp32",
+                      remat: bool = False, head_chunk: int = 128):
+    """Training step. ``remat=True`` (pair with `WaveRNN(cfg.remat=True)`,
+    which remats the GRU cells) additionally computes the FC head + loss in
+    `jax.checkpoint`ed time chunks: the (B, T, n_classes) logits — 0.7 GB
+    fp32 at batch 256 × seq 1280 × 512 classes, several times that with
+    softmax intermediates — are never materialised for the full sequence,
+    only (B, head_chunk, ·) at a time. Loss-parity with the plain step is
+    tested (`tests/test_vocoders.py::test_wavernn_remat_loss_parity`)."""
     from ...train.precision import Policy
     policy = Policy.from_name(precision)
 
-    def loss_fn(params, batch_stats, batch):
-        logits, mut = model.apply({"params": policy.cast(params),
-                                   "batch_stats": policy.cast(batch_stats)},
-                                  policy.cast(batch["x"]),
-                                  policy.cast(batch["mels"]), True,
-                                  mutable=["batch_stats"])
-        logits = policy.uncast(logits)
-        mut = policy.uncast(mut)
+    def _nll_elems(logits, y):
+        """Per-element negative log-likelihood, shape (B, T)."""
         if mode == "RAW":
             logp = jax.nn.log_softmax(logits, axis=-1)
-            y = batch["y"][..., None]
-            nll = -jnp.take_along_axis(logp, y, axis=-1)
-            loss = jnp.mean(nll)
-        else:
-            loss = discretized_mix_logistic_loss(logits, batch["y"][..., None])
-        return loss, mut["batch_stats"]
+            return -jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
+        return discretized_mix_logistic_loss(logits, y[..., None],
+                                             reduce=False)[..., 0]
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": policy.cast(params),
+                     "batch_stats": policy.cast(batch_stats)}
+        if not remat:
+            logits, mut = model.apply(variables, policy.cast(batch["x"]),
+                                      policy.cast(batch["mels"]), True,
+                                      mutable=["batch_stats"])
+            logits = policy.uncast(logits)
+            loss = jnp.mean(_nll_elems(logits, batch["y"]))
+            return loss, policy.uncast(mut)["batch_stats"]
+
+        (h, a3, a4), mut = model.apply(variables, policy.cast(batch["x"]),
+                                       policy.cast(batch["mels"]), True,
+                                       method=WaveRNN.features,
+                                       mutable=["batch_stats"])
+        y = batch["y"]
+        t = y.shape[1]
+        ck = min(head_chunk, t)
+        n_chunks = (t + ck - 1) // ck
+        pad = n_chunks * ck - t
+        if pad:  # pad labels with class 0 and mask the tail out of the sum
+            h, a3, a4 = (jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+                         for v in (h, a3, a4))
+            y = jnp.pad(y, ((0, 0), (0, pad)))
+        mask = (jnp.arange(n_chunks * ck) < t).astype(jnp.float32)
+
+        def chunk_loss(args):
+            hc, a3c, a4c, yc, mc = args
+            logits = policy.uncast(model.apply(
+                variables, hc, a3c, a4c, method=WaveRNN.head))
+            return (_nll_elems(logits, yc) * mc[None, :]).sum()
+
+        def to_chunks(v):
+            return v.reshape(v.shape[0], n_chunks, ck, *v.shape[2:]) \
+                    .swapaxes(0, 1)
+
+        sums = jax.lax.map(jax.checkpoint(chunk_loss, prevent_cse=False),
+                           (to_chunks(h), to_chunks(a3), to_chunks(a4),
+                            to_chunks(y[..., None])[..., 0],
+                            mask.reshape(n_chunks, ck)))
+        loss = sums.sum() / batch["y"].size
+        return loss, policy.uncast(mut)["batch_stats"]
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step_fn(params, batch_stats, opt_state, batch):
@@ -160,10 +202,17 @@ def gen_testset(variables, dataset: WaveRnnDataset, save_path: Path, cfg,
 def train(run_id: str, syn_dir: Path, models_dir: Path, ground_truth: bool = False,
           total_steps: Optional[int] = None, save_every: int = 1000,
           log_every: int = 10, cfg=None, seed: int = 0, use_mesh: bool = True,
-          gen_samples: int = 2, precision: str = "bf16"):
+          gen_samples: int = 2, precision: str = "bf16",
+          remat: Optional[bool] = None):
     multihost.initialize_from_env()
     syn_dir = Path(syn_dir)
     cfg = Config(wavernn_config()).merge(cfg or {})
+    # auto-remat at large batches: the plain step's (B, T, 512) GRU
+    # residuals + (B, T, n_classes) logits OOM one chip past batch ~192
+    # (measured r4); the remat step trades ~one recompute for that memory
+    if remat is None:
+        remat = bool(cfg.batch_size >= 192)
+    cfg.merge(dict(remat=remat))
     fcfg = cfg.freeze()
     model = WaveRNN(fcfg)
     variables = model.init(jax.random.PRNGKey(seed),
@@ -195,7 +244,7 @@ def train(run_id: str, syn_dir: Path, models_dir: Path, ground_truth: bool = Fal
     if mesh is not None and jax.process_count() > 1:
         params, batch_stats, opt_state = multihost.make_global(
             mesh, (params, batch_stats, opt_state))
-    step_fn = make_wavernn_step(model, tx, cfg.mode, precision)
+    step_fn = make_wavernn_step(model, tx, cfg.mode, precision, remat=remat)
 
     t0, acc = time.time(), []
     done = False
