@@ -99,11 +99,34 @@ class VoiceCloningPipeline:
             texts = [texts]
         if not (self.synthesizer_kind == "tacotron"
                 and hasattr(self.vocoder, "vocode_device")):
-            return self.clone_voice(texts, ref_wav, style_idx=style_idx,
+            wavs = self.clone_voice(texts, ref_wav, style_idx=style_idx,
                                     min_stop_token=min_stop_token, steps=steps,
                                     source_sr=source_sr)
+            # keep the return contract uniform on the staged fallback: a
+            # caller asking for quantised PCM gets int16 here too. The
+            # `pcm_format` wire-encoding choice only affects the fused
+            # path's device→host transfer — warn so a caller tuning
+            # transfer bytes knows it didn't apply.
+            if pcm_format is not None:
+                import warnings
+                warnings.warn(
+                    f"tts_batch: pcm_format={pcm_format!r} requested but the "
+                    "fused on-device path is unavailable (synthesizer="
+                    f"{self.synthesizer_kind}, vocoder={type(self.vocoder).__name__}); "
+                    "returning host-quantised int16 instead", stacklevel=2)
+            if pcm16 or pcm_format is not None:
+                wavs = [w if w.dtype == np.int16 else
+                        np.round(np.clip(w, -1.0, 1.0) * 32767).astype(np.int16)
+                        for w in wavs]
+            return wavs
         embed = (self.embed_reference(ref_wav, source_sr) if embed is None
                  else np.asarray(embed, np.float32))
+        # a (B, 256) embed batches DIFFERENT voices through one dispatch —
+        # the serving layer's request coalescing rides this (serve/http.py)
+        embeds_all = (np.tile(embed, (len(texts), 1)) if embed.ndim == 1
+                      else embed)
+        assert embeds_all.shape[0] == len(texts), \
+            f"per-text embeds {embeds_all.shape} vs {len(texts)} texts"
         hop = self.vocoder.cfg.hop_size
         # two-phase software pipeline: dispatch every chunk's device program
         # first (JAX dispatch is async), then fetch in order — chunk k+1
@@ -111,7 +134,7 @@ class VoiceCloningPipeline:
         pending = []
         for i in range(0, len(texts), batch_size):
             chunk = texts[i : i + batch_size]
-            embeds = np.tile(embed, (len(chunk), 1))
+            embeds = embeds_all[i : i + len(chunk)]
             mels_dev, frame_lens = self.synthesizer.synthesize_mels_device(
                 chunk, embeds, style_idx=style_idx,
                 min_stop_token=min_stop_token, steps=steps)
