@@ -204,3 +204,18 @@ def test_vits_synthesizer_pcm16():
     assert len(f32[0]) == len(i16[0])
     q = np.round(np.clip(f32[0], -1, 1) * 32767).astype(np.int16)
     assert np.abs(q.astype(np.int32) - i16[0].astype(np.int32)).max() <= 1
+
+
+def test_vits_reconstruct_probe():
+    """Posterior-mean reconstruction (the bench's VITS fidelity probe):
+    correct shape/dtype/finiteness on a small model, and trimming to the
+    input's frame count."""
+    from mockingbird_tpu.models.vits.inference import VitsSynthesizer
+    syn = VitsSynthesizer(cfg=small_cfg(), verbose=False, seed=0)
+    sr = 16000
+    t = np.arange(sr // 4) / sr
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    out = syn.reconstruct(wav)
+    assert out.dtype == np.float32 and np.isfinite(out).all()
+    n_frames = 1 + len(wav) // syn.cfg.hop_size  # center-padded STFT
+    assert abs(len(out) - n_frames * syn.cfg.hop_size) <= syn.cfg.hop_size
