@@ -56,7 +56,12 @@ class Synthesizer:
             if sidecar.exists():
                 self.cfg.merge(Config.from_json(sidecar))
                 model, variables = init_tacotron(jax.random.PRNGKey(self.seed), self.cfg.clone())
-            variables = load_single(self.model_fpath, dict(variables))
+            # template-less load: exports may store bf16 leaves (half-size,
+            # upcast to f32 by load_single) which a f32 template restore
+            # would reject on dtype
+            import jax.numpy as jnp
+            loaded = load_single(self.model_fpath)
+            variables = jax.tree.map(jnp.asarray, loaded)
             if self.verbose:
                 print(f"Loaded synthesizer from {self.model_fpath}")
         elif self.verbose:

@@ -68,11 +68,25 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def save_single(path, state: Any) -> None:
-    """One-shot whole-pytree save (for exporting inference weights)."""
+def save_single(path, state: Any, dtype: Optional[str] = None) -> None:
+    """One-shot whole-pytree save (for exporting inference weights).
+
+    ``dtype="bfloat16"`` casts float32 leaves before writing — inference
+    exports at half the bytes (the committed evidence payload halves, r4
+    advisor; `load_single` upcasts back to float32 so runtime behavior and
+    compute-dtype choices are unchanged — bf16 STORAGE is free, bf16
+    COMPUTE is a per-wrapper decision since it measured slower for VITS).
+    Output parity fp32-save vs bf16-save is tested
+    (`tests/test_infra.py::test_bf16_export_roundtrip_parity`)."""
     path = Path(path).absolute()
     if path.exists():
         shutil.rmtree(path)
+    if dtype is not None:
+        import jax.numpy as jnp
+        target = jnp.dtype(dtype)
+        state = jax.tree.map(
+            lambda x: x.astype(target)
+            if getattr(x, "dtype", None) == jnp.float32 else x, state)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state)
 
@@ -82,16 +96,21 @@ def load_single(path, template: Any = None) -> Any:
     host numpy regardless of the devices the checkpoint was SAVED on —
     an export written on a TPU must load on a CPU-only box (tests, tooling)
     where orbax's default sharding-aware restore would fail with
-    "Device TPU ... was not found". Callers move leaves on-device
-    themselves (`jax.tree.map(jnp.asarray, ...)`)."""
+    "Device TPU ... was not found". bfloat16 leaves (half-size storage
+    exports, see `save_single`) are upcast to float32. Callers move leaves
+    on-device themselves (`jax.tree.map(jnp.asarray, ...)`)."""
     path = Path(path).absolute()
     if template is not None:
         with ocp.StandardCheckpointer() as ckptr:
             return ckptr.restore(path, template)
     import numpy as np
+    import jax.numpy as jnp
     with ocp.PyTreeCheckpointer() as ckptr:
         meta = ckptr.metadata(path).item_metadata
         tree = meta.tree if hasattr(meta, "tree") else meta
         restore_args = jax.tree.map(
             lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree)
-        return ckptr.restore(path, restore_args=restore_args)
+        loaded = ckptr.restore(path, restore_args=restore_args)
+        return jax.tree.map(
+            lambda x: x.astype(np.float32)
+            if getattr(x, "dtype", None) == jnp.bfloat16 else x, loaded)

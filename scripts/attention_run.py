@@ -159,7 +159,7 @@ def main():
     from mockingbird_tpu.train.checkpoint import save_single
     exp = args.models_dir / "attention_run" / "synthesizer.ckpt"
     save_single(exp, {"params": state["params"],
-                      "batch_stats": state["batch_stats"]})
+                      "batch_stats": state["batch_stats"]}, dtype="bfloat16")
     Config(tacotron_config()).to_json(exp.with_suffix(".json"))
     print("exported:", exp, flush=True)
 

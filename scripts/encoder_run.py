@@ -252,7 +252,7 @@ def main():
         print(f"ARTIFACT step {upto}: held-out EER {e:.3f}", flush=True)
     print(f"total wall time {time.time()-t0:.0f}s", flush=True)
 
-    save_single(run_dir / "encoder.ckpt", {"params": params})
+    save_single(run_dir / "encoder.ckpt", {"params": params}, dtype="bfloat16")
     (run_dir / "history.json").write_text(json.dumps(history, indent=1))
     print("exported:", run_dir / "encoder.ckpt", flush=True)
 

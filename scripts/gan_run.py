@@ -171,7 +171,7 @@ def main():
     print(f"total wall time {time.time()-t0:.0f}s", flush=True)
 
     exp = run_dir / f"vocoder_{args.arch}.ckpt"
-    save_single(exp, {"g": state["g"]})
+    save_single(exp, {"g": state["g"]}, dtype="bfloat16")
     # sidecar read by GanVocoder (hop-256 GTA variant differs from stock)
     Config(cfg).to_json(exp.with_suffix(".json"))
     (run_dir / "history.json").write_text(json.dumps(history, indent=1))

@@ -126,7 +126,8 @@ def main():
         export_params, export_bs = best["params"], best["batch_stats"]
         print(f"exporting best-dev-loss weights (step {best_step})", flush=True)
     exp = run_dir / "ppg2mel.ckpt"
-    save_single(exp, {"params": export_params, "batch_stats": export_bs})
+    save_single(exp, {"params": export_params, "batch_stats": export_bs},
+                dtype="bfloat16")
     cfg.to_json(exp.with_suffix(".json"))
     print("exported:", exp, flush=True)
 

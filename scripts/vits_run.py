@@ -198,7 +198,7 @@ def main():
     print(f"total wall time {time.time()-t0:.0f}s", flush=True)
 
     exp = run_dir / "synthesizer_vits.ckpt"
-    save_single(exp, {"g": state["g"]})
+    save_single(exp, {"g": state["g"]}, dtype="bfloat16")
     Config(cfg).to_json(run_dir / "config.json")
     (run_dir / "history.json").write_text(json.dumps(history, indent=1))
     print("exported:", exp, flush=True)

@@ -342,3 +342,45 @@ def test_cli_launch_requires_command():
     with pytest.raises(SystemExit) as e:
         main(["launch", "--nprocs", "2"])
     assert "launch" in str(e.value)
+
+
+def test_bf16_export_roundtrip_parity(tmp_path):
+    """bf16 STORAGE exports (r4 advisor: halve the committed evidence
+    payload) must load back as float32 and change inference output only by
+    bf16 weight rounding — here: a small HiFi-GAN's waveform within 2e-2 of
+    the fp32 export's, and the on-disk payload about half the size."""
+    import jax
+    import jax.numpy as jnp
+    from mockingbird_tpu.config import Config
+    from mockingbird_tpu.models.vocoder.hifigan import hifigan_config
+    from mockingbird_tpu.models.vocoder.inference import GanVocoder
+    from mockingbird_tpu.train.checkpoint import load_single, save_single
+
+    cfg = dict(upsample_rates=[4, 4], upsample_kernel_sizes=[8, 8],
+               upsample_initial_channel=32, resblock_kernel_sizes=[3],
+               resblock_dilation_sizes=[[1, 3]], hop_size=16,
+               segment_size=16 * 8)
+    voc = GanVocoder("hifigan", cfg=cfg, verbose=False, half=False)
+    save_single(tmp_path / "f32.ckpt", {"g": voc.params})
+    save_single(tmp_path / "bf16.ckpt", {"g": voc.params}, dtype="bfloat16")
+
+    def tree_bytes(p):
+        return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+
+    f32_b, bf16_b = tree_bytes(tmp_path / "f32.ckpt"), tree_bytes(tmp_path / "bf16.ckpt")
+    assert bf16_b < 0.65 * f32_b, (f32_b, bf16_b)
+
+    loaded = load_single(tmp_path / "bf16.ckpt")
+    # upcast on load: float32 dtypes, values within bf16 rounding
+    leaves = jax.tree.leaves(loaded["g"])
+    assert all(l.dtype == np.float32 for l in leaves)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), b, rtol=8e-3, atol=1e-6), voc.params, loaded["g"])
+
+    mel = np.random.RandomState(0).randn(80, 24).astype(np.float32)
+    ref = voc.infer_waveform(mel)
+    voc_b = GanVocoder("hifigan", model_fpath=tmp_path / "bf16.ckpt", cfg=cfg,
+                       verbose=False, half=False)
+    out = voc_b.infer_waveform(mel)
+    assert out.shape == ref.shape
+    assert np.max(np.abs(out - ref)) < 2e-2, np.max(np.abs(out - ref))
