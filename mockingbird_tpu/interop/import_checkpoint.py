@@ -36,7 +36,7 @@ from ..train.checkpoint import save_single
 from . import torch_weights as tw
 
 FAMILIES = ("encoder", "tacotron", "wavernn", "hifigan", "fregan", "vits",
-            "ppg_extractor", "ppg2mel")
+            "ppg_extractor", "ppg2mel", "wav2emo")
 
 
 def _load_torch_state_dict(path):
@@ -95,6 +95,18 @@ def import_reference_checkpoint(family: str, torch_ckpt, out_path,
         params, stats = tw.convert_conformer_encoder(sd, c, prefix="encoder")
         state = {"params": {"encoder": params},
                  "batch_stats": {"encoder": stats}}
+    elif family == "wav2emo":
+        # the audeering emotion model the reference conditions VITS on
+        # (`models/synthesizer/models/wav2emo.py:9-50`): one command turns
+        # its torch checkpoint into an orbax dir EmotionExtractor loads
+        # directly (no torch needed afterwards)
+        from ..models.wav2emo import wav2emo_config
+        c = Config(wav2emo_config()).merge(cfg or {})
+        prefix = "wav2vec2" if any(k.startswith("wav2vec2.") for k in sd) else ""
+        state = {"params": tw.convert_wav2vec2_emotion(sd, c, prefix=prefix)}
+        # architecture sidecar: the loader must rebuild the exact conv
+        # stack / depth this checkpoint was converted against
+        c.to_json(Path(out_path).with_suffix(".json"))
     else:  # ppg2mel
         from ..models.ppg.ppg2mel import ppg2mel_config
         c = Config(ppg2mel_config()).merge(cfg or {})

@@ -69,6 +69,25 @@ class EmotionExtractor:
         self.cfg = Config(wav2emo_config()).merge(cfg or {})
         self._fns = {}
         self.params = None
+        # imported orbax checkpoint (one-command path:
+        # `cli import-checkpoint --family wav2emo --torch-ckpt <audeering>
+        # --out emotion.ckpt` then weights_path=emotion.ckpt): loads without
+        # torch/transformers present at all
+        p = Path(weights_path) if weights_path is not None else None
+        if p is not None and (p / "_CHECKPOINT_METADATA").exists():
+            import jax.numpy as jnp
+            from ...train.checkpoint import load_single
+            sidecar = p.with_suffix(".json")
+            if sidecar.exists():
+                base = Config(wav2emo_config())
+                base.merge(Config.from_json(sidecar))
+                self.cfg = base.merge(cfg or {})
+            loaded = load_single(p)
+            self.params = jax.tree.map(jnp.asarray, loaded["params"])
+            self.model = EmotionExtractorModel(self.cfg.freeze())
+            if verbose:
+                print(f"EmotionExtractor: loaded imported checkpoint {p}")
+            return
         try:
             loaded = _load_torch_state_dict(weights_path)
             if isinstance(loaded, tuple):
