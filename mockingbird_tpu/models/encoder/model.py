@@ -54,8 +54,14 @@ class FusedLSTMLayer(nn.Module):
     one large (B·T, D)@(D, 4H) matmul outside the scan, and only the
     (B, H)@(H, 4H) recurrence runs per step — measured ≈2× on the GE2E train
     step on a v5e chip. Params and numerics match flax's LSTMCell
-    (gate order i,f,g,o; c' = σ(f)·c + σ(i)·tanh(g); h' = σ(o)·tanh(c'))."""
+    (gate order i,f,g,o; c' = σ(f)·c + σ(i)·tanh(g); h' = σ(o)·tanh(c')).
+
+    ``unroll``: steps per loop iteration of the scan (and of its transposed
+    backward scan, which inherits it). The backward pass is loop-overhead
+    bound at these shapes — unrolling lets XLA fuse k steps' small kernels
+    and batch the weight-gradient accumulator updates."""
     hidden: int
+    unroll: int = 4
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -86,7 +92,8 @@ class FusedLSTMLayer(nn.Module):
             return (c, hs), hs
 
         zeros = jnp.zeros((b, h), x.dtype)
-        _, ys = jax.lax.scan(step, (zeros, zeros), jnp.swapaxes(xw, 0, 1))
+        _, ys = jax.lax.scan(step, (zeros, zeros), jnp.swapaxes(xw, 0, 1),
+                             unroll=self.unroll)
         return jnp.swapaxes(ys, 0, 1)
 
 

@@ -245,7 +245,8 @@ class MelDecoderMOLv2(nn.Module):
 
         scan = nn.scan(body, variable_broadcast="params",
                        split_rngs={"params": False, "dropout": True},
-                       in_axes=0, out_axes=0)
+                       in_axes=0, out_axes=0,
+                       unroll=c.get("scan_unroll", 4))
         _, (mels, stops, aligns) = scan(self, carry, dec_in)
         mel_out = jnp.swapaxes(mels, 0, 1).reshape(b, steps * r, m)
         stop_out = jnp.repeat(jnp.swapaxes(stops, 0, 1), r, axis=1)

@@ -49,6 +49,8 @@ def tacotron_config() -> Config:
         stop_threshold=-3.4,
         lsa_mask="additive",        # "reference" = the lsa.py:41 u*mask quirk
         remat_decoder=False,        # rematerialise the decoder scan (large batch)
+        fused_scan=True,            # hoist prenet/RNG/output-proj out of the scan
+        scan_unroll=4,              # unroll factor for the teacher-forced scan
         use_gst=True,
         use_ser_for_gst=True,
         gst_E=512,
@@ -269,9 +271,25 @@ class LSA(nn.Module):
     @nn.compact
     def __call__(self, encoder_seq_proj, query, cumulative, char_mask):
         processed_query = nn.Dense(self.attn_dim, name="W")(query)[:, None, :]
-        loc = nn.Conv(self.filters, (self.kernel_size,),
-                      padding=(self.kernel_size - 1) // 2, name="conv")(cumulative[..., None])
-        processed_loc = nn.Dense(self.attn_dim, use_bias=False, name="L")(loc)
+        # conv(31,1→32) followed by L(32→128) composed into ONE effective
+        # (31,1→128) conv: L is linear, so k_eff = k ∘ L and the conv bias
+        # becomes a constant (128,) vector. One kernel instead of two per
+        # decoder step (this runs S times inside the scan), and the
+        # (B, T, 32) intermediate never exists. Param paths are unchanged
+        # (conv/kernel, conv/bias, L/kernel) so checkpoints and the torch
+        # interop mapping are untouched; the composition is exact modulo
+        # float reassociation.
+        lecun = nn.initializers.lecun_normal()
+        conv_k, conv_b = _GateParams(
+            (self.kernel_size, 1, self.filters), lecun, True, name="conv")()
+        l_k, _ = _GateParams((self.filters, self.attn_dim), lecun, False,
+                             name="L")()
+        k_eff = jnp.einsum("kio,od->kid", conv_k, l_k)
+        pad = (self.kernel_size - 1) // 2
+        processed_loc = jax.lax.conv_general_dilated(
+            cumulative[..., None], k_eff.astype(cumulative.dtype),
+            window_strides=(1,), padding=[(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC")) + conv_b @ l_k
         u = nn.Dense(1, use_bias=False, name="v")(
             jnp.tanh(processed_query + encoder_seq_proj + processed_loc))[..., 0]
         if self.masking == "reference":
@@ -279,6 +297,59 @@ class LSA(nn.Module):
         else:
             u = jnp.where(char_mask > 0, u, -1e9)
         return jax.nn.softmax(u, axis=1)  # (B, T_text)
+
+
+class FusedGRUCell(nn.Module):
+    """flax ``nn.GRUCell`` numerics and parameter tree (ir/iz/in + hr/hz/hn,
+    biases on the i-gates and hn) computed as TWO concatenated matmuls
+    instead of six per-gate Denses. Inside the decoder scan the six small
+    (B,·)@(·,H) kernels are pure launch overhead; concatenating the gate
+    kernels keeps the MXU fed and triples per-kernel work. Checkpoints and
+    the torch-interop mapping are unaffected (identical param paths)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, carry, inputs):
+        h = carry
+        d, hd = inputs.shape[-1], self.features
+        lecun = nn.initializers.lecun_normal()
+        orth = nn.initializers.orthogonal()
+        wi, bi = [], []
+        for g in ("ir", "iz", "in"):
+            k, b = _GateParams((d, hd), lecun, True, name=g)()
+            wi.append(k)
+            bi.append(b)
+        wh = []
+        for g, has_b in (("hr", False), ("hz", False), ("hn", True)):
+            k, b = _GateParams((hd, hd), orth, has_b, name=g)()
+            wh.append(k)
+            if has_b:
+                bn = b
+        x_proj = inputs @ jnp.concatenate(wi, axis=1) + jnp.concatenate(bi)
+        h_proj = h @ jnp.concatenate(wh, axis=1)
+        xr, xz, xn = jnp.split(x_proj, 3, axis=-1)
+        hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+        r = nn.sigmoid(xr + hr)
+        z = nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * (hn + bn))
+        new_h = (1.0 - z) * n + z * h
+        return new_h, new_h
+
+
+class _GateParams(nn.Module):
+    """kernel(+bias) holder reproducing flax's per-gate param paths so
+    checkpoints and the torch-interop mapping stay valid (same pattern as
+    `models/encoder/model.py:_GateParams`)."""
+    shape: tuple
+    kernel_init: Any
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.shape)
+        b = (self.param("bias", nn.initializers.zeros_init(), (self.shape[-1],))
+             if self.use_bias else None)
+        return k, b
 
 
 class TacotronDecoderCell(nn.Module):
@@ -292,24 +363,32 @@ class TacotronDecoderCell(nn.Module):
                              enabled=getattr(c, "prenet_dropout", True), name="prenet")
         self.attn_net = LSA(c.decoder_dims, name="attn_net",
                             masking=getattr(c, "lsa_mask", "additive"))
-        self.attn_rnn = nn.GRUCell(c.decoder_dims, name="attn_rnn")
+        self.attn_rnn = FusedGRUCell(c.decoder_dims, name="attn_rnn")
         self.rnn_input = nn.Dense(c.lstm_dims, name="rnn_input")
         self.res_rnn1 = nn.OptimizedLSTMCell(c.lstm_dims, name="res_rnn1")
         self.res_rnn2 = nn.OptimizedLSTMCell(c.lstm_dims, name="res_rnn2")
         self.mel_proj = nn.Dense(c.n_mels * c.max_r, use_bias=False, name="mel_proj")
         self.stop_proj = nn.Dense(1, name="stop_proj")
 
-    def _zoneout(self, prev, current, p=0.1):
-        mask = jax.random.bernoulli(self.make_rng("zoneout"), p, prev.shape)
+    def _zoneout(self, prev, current, mask=None, p=0.1):
+        if mask is None:
+            mask = jax.random.bernoulli(self.make_rng("zoneout"), p, prev.shape)
         return jnp.where(mask, prev, current)
 
-    def __call__(self, encoder_seq, encoder_seq_proj, char_mask, carry,
-                 prenet_in, train: bool, r: int):
-        c = self.cfg
-        (attn_hidden, rnn1_state, rnn2_state, context_vec, cumulative) = carry
-        b = encoder_seq.shape[0]
+    def step_core(self, encoder_seq, encoder_seq_proj, char_mask, carry,
+                  prenet_out, train: bool, zo_masks=None):
+        """Recurrent core of one decoder step: everything that genuinely
+        depends on the carry. PreNet (whose input is known for all steps
+        under teacher forcing) and the mel/stop output projections (pure
+        functions of this step's outputs) live OUTSIDE so the fused
+        training path can run them as single large MXU matmuls over all S
+        steps — and so the per-step threefry RNG for zoneout can be one
+        batched draw instead of S sequential ones (`zo_masks`).
 
-        prenet_out = self.prenet(prenet_in)
+        Returns (carry, (x, context_vec, scores)) where ``x`` feeds
+        mel_proj and stop_proj."""
+        (attn_hidden, rnn1_state, rnn2_state, context_vec, cumulative) = carry
+
         attn_rnn_in = jnp.concatenate([context_vec, prenet_out], axis=-1)
         _, attn_hidden = self.attn_rnn(attn_hidden, attn_rnn_in)
 
@@ -319,22 +398,38 @@ class TacotronDecoderCell(nn.Module):
 
         x = self.rnn_input(jnp.concatenate([context_vec, attn_hidden], axis=1))
 
+        m1, m2 = zo_masks if zo_masks is not None else (None, None)
         rnn1_state_next, rnn1_out = self.res_rnn1(rnn1_state, x)
-        rnn1_hidden = self._zoneout(rnn1_state[1], rnn1_out) if train else rnn1_out
+        rnn1_hidden = self._zoneout(rnn1_state[1], rnn1_out, m1) if train else rnn1_out
         rnn1_state = (rnn1_state_next[0], rnn1_hidden)
         x = x + rnn1_hidden
 
         rnn2_state_next, rnn2_out = self.res_rnn2(rnn2_state, x)
-        rnn2_hidden = self._zoneout(rnn2_state[1], rnn2_out) if train else rnn2_out
+        rnn2_hidden = self._zoneout(rnn2_state[1], rnn2_out, m2) if train else rnn2_out
         rnn2_state = (rnn2_state_next[0], rnn2_hidden)
         x = x + rnn2_hidden
 
-        mels = self.mel_proj(x).reshape(b, c.n_mels, c.max_r)[:, :, :r]  # (B, M, r)
-        mels = jnp.transpose(mels, (0, 2, 1))                            # (B, r, M)
-
-        stop = jax.nn.sigmoid(self.stop_proj(jnp.concatenate([x, context_vec], axis=1)))[:, 0]
-
         carry = (attn_hidden, rnn1_state, rnn2_state, context_vec, cumulative)
+        return carry, (x, context_vec, scores)
+
+    def project_out(self, x, context_vec, r: int):
+        """mel/stop heads over decoder output ``x`` (..., lstm_dims). Works
+        per-step ((B, D), legacy/generation) or stacked over all steps
+        ((S, B, D), fused path) — Dense maps the trailing axis either way."""
+        c = self.cfg
+        lead = x.shape[:-1]
+        mels = self.mel_proj(x).reshape(*lead, c.n_mels, c.max_r)[..., :r]
+        mels = jnp.swapaxes(mels, -1, -2)  # (..., r, M)
+        stop = jax.nn.sigmoid(self.stop_proj(
+            jnp.concatenate([x, context_vec], axis=-1)))[..., 0]
+        return mels, stop
+
+    def __call__(self, encoder_seq, encoder_seq_proj, char_mask, carry,
+                 prenet_in, train: bool, r: int):
+        prenet_out = self.prenet(prenet_in)
+        carry, (x, context_vec, scores) = self.step_core(
+            encoder_seq, encoder_seq_proj, char_mask, carry, prenet_out, train)
+        mels, stop = self.project_out(x, context_vec, r)
         return carry, (mels, scores, stop)
 
     def init_carry(self, batch: int, t_text: int, project_dims: int):
@@ -428,22 +523,64 @@ class Tacotron(nn.Module):
 
         carry = self.cell.init_carry(b, texts.shape[1], self.project_dims)
 
-        def body(mdl, carry, prenet_in):
-            return mdl.cell(encoder_seq, encoder_seq_proj, char_mask, carry,
-                            prenet_in, train, r)
-
         # remat_decoder: recompute the cell's activations in the backward
         # pass instead of materialising them for all S steps (the LSA
         # location-conv features alone are S·B·T_text·128 floats — ~6 GB at
         # batch 192, which OOMs a 16 GB chip). The recompute is ~1/3 extra
         # decoder FLOPs for ~S× less scan-activation HBM; off at reference
         # batch sizes, required for large-batch training.
-        if getattr(c, "remat_decoder", False) and train:
-            body = nn.remat(body, prevent_cse=False)
-        scan = nn.scan(body, variable_broadcast="params",
-                       split_rngs={"params": False, "dropout": True, "zoneout": True},
-                       in_axes=0, out_axes=0)
-        _, (mel_groups, scores, stops) = scan(self, carry, prenet_ins)
+        remat = getattr(c, "remat_decoder", False) and train
+
+        if getattr(c, "fused_scan", True):
+            # Fused teacher-forced path: the scan body keeps only the true
+            # recurrence (step_core). Everything whose inputs are known for
+            # all S steps runs as ONE batched op instead of S sequential
+            # ones: the PreNet (two (S·B, D) MXU matmuls + one dropout draw
+            # instead of 2S small matmuls + 2S threefry calls), the zoneout
+            # masks (one bernoulli over (S, 2, B, lstm) — per-step threefry
+            # inside a scan serialises on the scalar core), and the
+            # mel/stop projections (applied post-scan to the stacked
+            # (S, B, lstm) outputs). Identical math to the legacy path —
+            # only the RNG draw order differs (tests/test_tacotron.py
+            # pins exact parity with dropout/zoneout disabled).
+            prenet_outs = self.cell.prenet(prenet_ins)          # (S, B, P)
+            if train:
+                zo = jax.random.bernoulli(
+                    self.make_rng("zoneout"), 0.1, (steps, 2, b, c.lstm_dims))
+            else:
+                zo = jnp.zeros((steps, 2, b, c.lstm_dims), bool)
+
+            def body(mdl, carry, xs):
+                pn, masks = xs
+                return mdl.cell.step_core(encoder_seq, encoder_seq_proj,
+                                          char_mask, carry, pn, train,
+                                          (masks[0], masks[1]))
+
+            if remat:
+                body = nn.remat(body, prevent_cse=False)
+            # unroll: the transposed (backward) scan inherits the unroll
+            # factor, fusing k steps' small kernels per loop iteration —
+            # the backward pass is loop-overhead-bound (measured 323 ms →
+            # 235 ms at unroll=4, batch 192; BASELINE.md r5 ablation)
+            scan = nn.scan(body, variable_broadcast="params",
+                           split_rngs={"params": False},
+                           in_axes=0, out_axes=0,
+                           unroll=getattr(c, "scan_unroll", 1))
+            _, (xs_out, contexts, scores) = scan(self, carry, (prenet_outs, zo))
+            mel_groups, stops = self.cell.project_out(xs_out, contexts, r)
+        else:
+            def body(mdl, carry, prenet_in):
+                return mdl.cell(encoder_seq, encoder_seq_proj, char_mask, carry,
+                                prenet_in, train, r)
+
+            if remat:
+                body = nn.remat(body, prevent_cse=False)
+            scan = nn.scan(body, variable_broadcast="params",
+                           split_rngs={"params": False, "dropout": True,
+                                       "zoneout": True},
+                           in_axes=0, out_axes=0)
+            _, (mel_groups, scores, stops) = scan(self, carry, prenet_ins)
+
         # mel_groups (S, B, r, M) → (B, S*r, M)
         mel_out = jnp.swapaxes(mel_groups, 0, 1).reshape(b, steps * r, m)
         attn = jnp.swapaxes(scores, 0, 1)                       # (B, S, T_text)

@@ -134,8 +134,13 @@ class WaveRNN(nn.Module):
         # parameter tree identical, so checkpoints interchange freely.
         cell_cls = (nn.remat(nn.GRUCell, prevent_cse=False)
                     if self.cfg.get("remat", False) else nn.GRUCell)
-        self.rnn1 = nn.RNN(cell_cls(c.rnn_dims), name="rnn1")
-        self.rnn2 = nn.RNN(cell_cls(c.rnn_dims), name="rnn2")
+        # unroll: k GRU steps per loop iteration of the (fwd and transposed
+        # bwd) scan — the backward pass is loop-overhead bound; unrolling
+        # fuses the small per-step kernels and batches grad-accumulator HBM
+        # round-trips (same lever as the Tacotron decoder, BASELINE.md r5)
+        unroll = c.get("scan_unroll", 4)
+        self.rnn1 = nn.RNN(cell_cls(c.rnn_dims), name="rnn1", unroll=unroll)
+        self.rnn2 = nn.RNN(cell_cls(c.rnn_dims), name="rnn2", unroll=unroll)
         self.fc1 = nn.Dense(c.fc_dims, name="fc1")
         self.fc2 = nn.Dense(c.fc_dims, name="fc2")
         self.fc3 = nn.Dense(self.n_classes, name="fc3")
