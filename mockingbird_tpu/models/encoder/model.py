@@ -57,11 +57,12 @@ class FusedLSTMLayer(nn.Module):
     (gate order i,f,g,o; c' = σ(f)·c + σ(i)·tanh(g); h' = σ(o)·tanh(c')).
 
     ``unroll``: steps per loop iteration of the scan (and of its transposed
-    backward scan, which inherits it). The backward pass is loop-overhead
-    bound at these shapes — unrolling lets XLA fuse k steps' small kernels
-    and batch the weight-gradient accumulator updates."""
+    backward scan, which inherits it). Measured on-chip: unrolling HURTS
+    this layer (51.8 ms at 1 vs 54.0 at 4, 64×10 batch) — the hoisted
+    (B·T, D)@(D, 4H) projection already dominates, so unrolling only grows
+    code size. Default 1; the knob stays for other shapes."""
     hidden: int
-    unroll: int = 4
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:

@@ -137,7 +137,9 @@ class WaveRNN(nn.Module):
         # unroll: k GRU steps per loop iteration of the (fwd and transposed
         # bwd) scan — the backward pass is loop-overhead bound; unrolling
         # fuses the small per-step kernels and batches grad-accumulator HBM
-        # round-trips (same lever as the Tacotron decoder, BASELINE.md r5)
+        # round-trips (same lever as the Tacotron decoder). Measured on one
+        # v5e chip: 126->120 ms/step at batch 100, 266->192 ms at batch 256
+        # on the remat path (MFU 15.1 -> 20.9%).
         unroll = c.get("scan_unroll", 4)
         self.rnn1 = nn.RNN(cell_cls(c.rnn_dims), name="rnn1", unroll=unroll)
         self.rnn2 = nn.RNN(cell_cls(c.rnn_dims), name="rnn2", unroll=unroll)
