@@ -379,7 +379,7 @@ BENCHES = {"tacotron": bench_tacotron, "vits": bench_vits,
 # independent measurement of the SAME jitted step at a bigger batch; if the
 # "latency-bound" claim holds, ms/step stays ~flat while MFU scales ~B.
 SCALED = {
-    "tacotron": (bench_tacotron, (12, 48, 192)),
+    "tacotron": (bench_tacotron, (12, 48, 192, 384)),
     # encoder tops out at 512 speakers: even with remat, the forward's live
     # hoisted projection (T, B·u, 4H) is ~3 GB/layer at 1024 and the step
     # exceeds 16 GB HBM
